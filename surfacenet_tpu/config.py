@@ -1,0 +1,198 @@
+"""Typed configuration tree for surfacenet-tpu.
+
+The reference keeps all hyperparameters as module-level globals in a
+``params.py``-style module (SURVEY.md C1).  Here they are typed, immutable
+dataclasses so that configs can be passed through ``jax.jit`` static args,
+serialized per-experiment (the 5 BASELINE configs), and overridden from the
+CLI without global mutable state.
+
+All dataclasses are frozen and hashable so a config object can be a static
+argument to a jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelConfig:
+    """Scene discretization (reference: voxel size `s`, cube side, overlap)."""
+
+    voxel_size_mm: float = 0.4  # `s`: edge length of one voxel in mm
+    cube_size: int = 32  # D: voxels per cube edge (32 train / 64 inference)
+    overlap: int = 8  # voxels of overlap between adjacent cubes
+    # Colors are mean-centered per-CVC before entering the net.
+    center_colors: bool = True
+
+    @property
+    def stride(self) -> int:
+        """Cube-to-cube stride in voxels along each axis."""
+        return self.cube_size - self.overlap
+
+    @property
+    def cube_extent_mm(self) -> float:
+        return self.voxel_size_mm * self.cube_size
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SurfaceNet 3D-CNN architecture (SURVEY.md C5, paper Fig. 3).
+
+    Channel widths follow the paper recollection (32 -> 80 -> 160 -> 300 with
+    the deepest block dilated); marked re-verify in SURVEY.md SS3.4 but are
+    config-tunable here, so parity fixes are one-line.
+    """
+
+    block_channels: Tuple[int, ...] = (32, 80, 160, 300)
+    convs_per_block: Tuple[int, ...] = (3, 3, 3, 3)
+    dilations: Tuple[int, ...] = (1, 1, 1, 2)  # deepest block uses dilated convs
+    pool_after_block: Tuple[bool, ...] = (True, True, False, False)
+    side_channels: int = 16  # HED-style side layers, upsampled to cube res
+    in_channels: int = 6  # CVC pair: 2 x RGB
+    use_batchnorm: bool = True
+    dtype: str = "bfloat16"  # compute dtype on TPU (params stay f32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PairNetConfig:
+    """2D patch-embedding net trained with triplet loss (SURVEY.md C6/C12)."""
+
+    patch_size: int = 32
+    channels: Tuple[int, ...] = (32, 64, 128)
+    embed_dim: int = 64
+    margin: float = 0.5  # triplet margin
+    # Geometric features appended to the learned similarity when scoring a
+    # view pair: [cos(baseline angle), |similarity|].
+    n_geom_features: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """View-pair fusion + binarization + thinning (SURVEY.md C7/C8)."""
+
+    n_view_pairs: int = 5  # Nv: number of fused view pairs per cube
+    tau: float = 0.7  # binarization threshold on fused probability
+    gamma: float = 0.8  # ray-pooling retention fraction
+    adaptive_threshold: bool = False  # per-region tuned tau (baseline config 2)
+    adaptive_gamma_range: Tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Scene sweep / batched cube scheduler (SURVEY.md C9)."""
+
+    cube_batch: int = 16  # cubes per device per step (static shape)
+    prefilter: bool = True  # frustum/content prefilter before batching
+    min_views_visible: int = 2  # cube must fall inside >= this many frusta
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the sharded sweep / training.
+
+    Axes: ``block`` shards the scene volume into voxel-cube blocks (the
+    sequence-parallel analog, SURVEY.md SS2) and ``cube`` is data-parallel
+    over cubes/minibatch within a block.
+    """
+
+    block_axis: int = 1
+    cube_axis: int = -1  # -1: all remaining devices
+    axis_names: Tuple[str, ...] = ("block", "cube")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop (SURVEY.md C11/C12)."""
+
+    batch_size: int = 32
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    n_steps: int = 10000
+    # class-balanced BCE: surface voxels are rare; alpha weights positives.
+    class_balance: bool = True
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Root config."""
+
+    voxel: VoxelConfig = VoxelConfig()
+    model: ModelConfig = ModelConfig()
+    pairnet: PairNetConfig = PairNetConfig()
+    fusion: FusionConfig = FusionConfig()
+    sweep: SweepConfig = SweepConfig()
+    mesh: MeshConfig = MeshConfig()
+    train: TrainConfig = TrainConfig()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+
+        def _mk(cls, d):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in d.items():
+                if k not in fields:
+                    continue
+                ft = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                kw[k] = v
+            return cls(**kw)
+
+        return Config(
+            voxel=_mk(VoxelConfig, raw.get("voxel", {})),
+            model=_mk(ModelConfig, raw.get("model", {})),
+            pairnet=_mk(PairNetConfig, raw.get("pairnet", {})),
+            fusion=_mk(FusionConfig, raw.get("fusion", {})),
+            sweep=_mk(SweepConfig, raw.get("sweep", {})),
+            mesh=_mk(MeshConfig, raw.get("mesh", {})),
+            train=_mk(TrainConfig, raw.get("train", {})),
+        )
+
+
+# The five BASELINE.json operating points, as named presets.
+def baseline_config(name: str) -> Config:
+    base = Config()
+    if name == "dtu9_single":  # config 1: 2-view CVC, 32^3, single threshold
+        return base.replace(
+            voxel=dataclasses.replace(base.voxel, cube_size=32),
+            fusion=dataclasses.replace(
+                base.fusion, n_view_pairs=1, adaptive_threshold=False
+            ),
+        )
+    if name == "dtu9_full":  # config 2: multi-pair fusion + adaptive tau, 64^3
+        return base.replace(
+            voxel=dataclasses.replace(base.voxel, cube_size=64),
+            fusion=dataclasses.replace(
+                base.fusion, n_view_pairs=5, adaptive_threshold=True
+            ),
+        )
+    if name == "dtu_eval_split":  # config 3: full eval split, 1 host
+        return base.replace(
+            voxel=dataclasses.replace(base.voxel, cube_size=64),
+        )
+    if name == "highres_sharded":  # config 4: s=0.2mm multi-host sweep
+        return base.replace(
+            voxel=dataclasses.replace(
+                base.voxel, voxel_size_mm=0.2, cube_size=64
+            ),
+        )
+    if name == "tanks_temples":  # config 5: stretch, COLMAP poses
+        return base.replace(
+            voxel=dataclasses.replace(base.voxel, voxel_size_mm=2.0, cube_size=64),
+        )
+    raise ValueError(f"unknown baseline config: {name}")

@@ -1,0 +1,172 @@
+"""SurfaceNet 3D CNN: per-voxel surface-probability regressor (SURVEY.md C5).
+
+Behavior contract (paper Fig. 3 / SURVEY.md SS3.4): a fully-convolutional 3D
+network over a CVC pair (D, D, D, 6) ->
+
+    block1 (32ch, 3 convs) -> pool
+    block2 (80ch, 3 convs) -> pool
+    block3 (160ch, 3 convs)
+    block4 (300ch, 3 convs, dilation 2)
+    side layers (16ch each, one per block) upsampled back to D^3
+    concat sides -> 1x1x1 conv -> sigmoid -> p in [0,1]^{D^3}
+
+with BatchNorm throughout.  Fully convolutional: trained at 32^3, applied at
+64^3 without change.
+
+TPU-first notes:
+  * 3D convs lower to MXU matmuls via XLA's conv_general_dilated; channels
+    are the minor (lane) dimension in NDHWC layout.  Compute dtype is
+    bfloat16, params float32 (config.model.dtype).
+  * No data-dependent control flow anywhere; the whole forward is one fused
+    XLA program.  A Pallas path for the conv stack can be swapped in per-op
+    where XLA is below the 70% MXU-utilization target (BASELINE north star).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from surfacenet_tpu.config import ModelConfig
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class ConvBlock(nn.Module):
+    """N x (conv3d -> [BN] -> relu), optionally dilated."""
+
+    features: int
+    n_convs: int
+    dilation: int = 1
+    use_bn: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(self.n_convs):
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3, 3),
+                kernel_dilation=(self.dilation,) * 3,
+                padding="SAME",
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    axis_name=None,
+                )(x)
+            x = nn.relu(x)
+        return x
+
+
+class SideLayer(nn.Module):
+    """HED-style side output: 1^3 conv to `features`, upsample to full res."""
+
+    features: int
+    upsample: int  # 1, 2 or 4
+    use_bn: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(1, 1, 1),
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        x = nn.relu(x)
+        if self.upsample > 1:
+            # Learned upsampling (reference uses deconv side layers).
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(self.upsample * 2,) * 3,
+                strides=(self.upsample,) * 3,
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        return x
+
+
+class SurfaceNet(nn.Module):
+    """The full surface-probability network.
+
+    Input: (B, D, D, D, in_channels) CVC pair, channels-last (NDHWC).
+    Output: (B, D, D, D) surface probability in [0, 1].
+    """
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        cfg = self.cfg
+        dt = _dtype(cfg.dtype)
+        x = x.astype(dt)
+
+        sides = []
+        scale = 1
+        for bi, (ch, nconv, dil, do_pool) in enumerate(
+            zip(
+                cfg.block_channels,
+                cfg.convs_per_block,
+                cfg.dilations,
+                cfg.pool_after_block,
+            )
+        ):
+            x = ConvBlock(
+                ch, nconv, dilation=dil, use_bn=cfg.use_batchnorm, dtype=dt
+            )(x, train)
+            sides.append(
+                SideLayer(
+                    cfg.side_channels,
+                    upsample=scale,
+                    use_bn=cfg.use_batchnorm,
+                    dtype=dt,
+                )(x, train)
+            )
+            if do_pool:
+                x = nn.max_pool(
+                    x, window_shape=(2, 2, 2), strides=(2, 2, 2)
+                )
+                scale *= 2
+
+        h = jnp.concatenate(sides, axis=-1)
+        logits = nn.Conv(
+            1,
+            kernel_size=(1, 1, 1),
+            dtype=dt,
+            param_dtype=jnp.float32,
+        )(h)
+        # Return in float32: probabilities feed fusion / thresholds.
+        logits = logits[..., 0].astype(jnp.float32)
+        if return_logits:
+            return logits
+        return jax.nn.sigmoid(logits)
+
+
+def init_surfacenet(
+    cfg: ModelConfig, rng: jax.Array, D: int = 32
+) -> Tuple[SurfaceNet, Any]:
+    """Initialize params (+ batch stats) with a dummy cube."""
+    model = SurfaceNet(cfg)
+    dummy = jnp.zeros((1, D, D, D, cfg.in_channels), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables

@@ -1,0 +1,137 @@
+"""Ray pooling: view-consistent thinning of the fused probability volume.
+
+Reference behavior (SURVEY.md C8, paper SS5.2-5.3): after fusion and
+binarization at tau, thin the occupancy so surfaces are ~1 voxel thick: along
+each camera viewing ray through the cube, keep only the voxel(s) with locally
+maximal fused probability; gamma controls the retention criterion.  The exact
+reference rule is marked *re-verify* in SURVEY.md (mount was empty); the rule
+implemented here is:
+
+    a voxel survives iff it is the ray-maximum in at least
+    ceil(gamma * n_views) of the pooling views, and p > tau.
+
+TPU-first design: per view this is a segmented max over "which voxels share a
+pixel" — implemented as a static-shape scatter-max into a cube-local raster
+window followed by a gather-back and equality test.  No sorting, no dynamic
+shapes, no host loop; vmapped over views and over cubes.
+
+The raster window is anchored at the integer floor of the cube footprint's
+minimum pixel, so local pixel ids coincide with the true image pixel grid
+(rays are genuine camera rays), while the buffer stays a small static
+(R x R) regardless of image resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from surfacenet_tpu.geometry.camera import project, voxel_centers
+
+NEG = -1e30
+
+
+def ray_max_mask_single_view(
+    prob: jnp.ndarray,
+    origin: jnp.ndarray,
+    s: float,
+    P: jnp.ndarray,
+    raster_size: int = 128,
+) -> jnp.ndarray:
+    """Per-voxel mask: is this voxel the max-probability voxel on its ray?
+
+    Args:
+      prob: (D, D, D) fused probability.
+      origin: (3,) cube origin (mm).
+      s: voxel size (mm).
+      P: (3, 4) projection matrix of the pooling view.
+      raster_size: R, static side of the local raster window (pixels).  Must
+        cover the cube's projected footprint; voxels falling outside the
+        window are conservatively kept out of the max (mask False).
+
+    Returns:
+      (D, D, D) bool.
+    """
+    D = prob.shape[0]
+    centers = voxel_centers(origin.astype(jnp.float32), D, s).reshape(-1, 3)
+    uv, w = project(P, centers)
+    ui = jnp.floor(uv[:, 0]).astype(jnp.int32)
+    vi = jnp.floor(uv[:, 1]).astype(jnp.int32)
+    infront = w > 0
+
+    # Anchor the window at the footprint min (integer -> ids match the true
+    # pixel grid).  Use only in-front voxels for the anchor.
+    big = jnp.int32(2**30)
+    u_min = jnp.min(jnp.where(infront, ui, big))
+    v_min = jnp.min(jnp.where(infront, vi, big))
+    uu = ui - u_min
+    vv = vi - v_min
+
+    R = raster_size
+    inside = infront & (uu >= 0) & (uu < R) & (vv >= 0) & (vv < R)
+    pid = jnp.clip(vv * R + uu, 0, R * R - 1)
+
+    pf = prob.reshape(-1)
+    contrib = jnp.where(inside, pf, NEG)
+    buf = jnp.full((R * R,), NEG, prob.dtype).at[pid].max(contrib)
+    ray_max = buf[pid]
+    is_max = inside & (pf >= ray_max - 1e-6) & (ray_max > NEG / 2)
+    return is_max.reshape(D, D, D)
+
+
+def ray_pool(
+    prob: jnp.ndarray,
+    origin: jnp.ndarray,
+    s: float,
+    Ps: jnp.ndarray,
+    tau: jnp.ndarray | float,
+    gamma: float,
+    raster_size: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full thinning for one cube.
+
+    Args:
+      prob: (D, D, D) fused probability.
+      Ps: (Vr, 3, 4) pooling-view projections (typically the views of the
+        fused pairs).
+      tau: binarization threshold (scalar or per-cube from
+        fusion.adaptive_threshold).
+      gamma: retention fraction over views.
+
+    Returns:
+      occupancy: (D, D, D) bool thin surface voxels.
+      votes: (D, D, D) int32 number of views voting voxel as ray-max.
+    """
+    masks = jax.vmap(
+        lambda P: ray_max_mask_single_view(prob, origin, s, P, raster_size)
+    )(Ps)
+    votes = jnp.sum(masks.astype(jnp.int32), axis=0)
+    n_views = Ps.shape[0]
+    need = jnp.maximum(jnp.ceil(gamma * n_views).astype(jnp.int32), 1)
+    occ = (votes >= need) & (prob > tau)
+    return occ, votes
+
+
+def ray_pool_batch(
+    probs: jnp.ndarray,
+    origins: jnp.ndarray,
+    s: float,
+    Ps: jnp.ndarray,
+    taus: jnp.ndarray,
+    gamma: float,
+    raster_size: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmap of ray_pool over a batch of cubes.
+
+    Args:
+      probs: (B, D, D, D); origins: (B, 3); Ps: (B, Vr, 3, 4) or (Vr, 3, 4)
+      shared; taus: (B,) or scalar.
+    """
+    if Ps.ndim == 3:
+        Ps = jnp.broadcast_to(Ps, (probs.shape[0],) + Ps.shape)
+    taus = jnp.broadcast_to(jnp.asarray(taus), (probs.shape[0],))
+    return jax.vmap(
+        lambda p, o, P, t: ray_pool(p, o, s, P, t, gamma, raster_size)
+    )(probs, origins, Ps, taus)

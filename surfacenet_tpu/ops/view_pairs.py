@@ -1,0 +1,133 @@
+"""View-pair selection & weighting (SURVEY.md C6, paper SS5.1).
+
+For each cube, candidate view pairs are scored and the top-Nv are fused.
+Two scorers:
+
+  * ``select_pairs_geometric`` — geometry only: both cameras must see the
+    cube, and the pair weight peaks at a preferred baseline (triangulation)
+    angle.  Used for bootstrapping, golden tests, and as the geometric
+    feature half of the learned scorer.
+  * ``select_pairs_learned`` — combines the geometric score with the learned
+    patch-similarity of the 2D triplet network (models/pairnet.py), matching
+    the reference's learned relevance weights.
+
+Everything is static-shape: all V*(V-1)/2 candidate pairs are scored
+densely (V <= ~64 on DTU, so the candidate tensor is small), then a
+``top_k`` compacts to Nv — no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenet_tpu.geometry.camera import (
+    camera_center,
+    cube_visible,
+)
+
+
+def candidate_pairs(n_views: int) -> np.ndarray:
+    """All unordered view pairs, (P, 2) int32."""
+    a, b = np.triu_indices(n_views, k=1)
+    return np.stack([a, b], axis=-1).astype(np.int32)
+
+
+def pair_angle_weight(
+    cos_angle: jnp.ndarray,
+    preferred_deg: float = 20.0,
+    sigma_deg: float = 15.0,
+) -> jnp.ndarray:
+    """Gaussian weight on the pair's triangulation angle at the cube.
+
+    Small angles triangulate poorly, very wide ones match poorly; the
+    reference encodes this as a geometric feature for its learned scorer.
+    """
+    ang = jnp.degrees(jnp.arccos(jnp.clip(cos_angle, -1.0, 1.0)))
+    return jnp.exp(-0.5 * ((ang - preferred_deg) / sigma_deg) ** 2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pairs", "image_hw"))
+def _select_geometric_jit(
+    Ps: jnp.ndarray,  # (V, 3, 4)
+    origins: jnp.ndarray,  # (N, 3)
+    pairs: jnp.ndarray,  # (P, 2)
+    extent_mm: float,
+    n_pairs: int,
+    image_hw: Tuple[int, int],
+):
+    vis = cube_visible(Ps, origins, extent_mm, image_hw)  # (N, V)
+    centers = origins + extent_mm / 2.0  # (N, 3)
+    cams = camera_center(Ps)  # (V, 3)
+
+    va = cams[pairs[:, 0]][None] - centers[:, None]  # (N, P, 3)
+    vb = cams[pairs[:, 1]][None] - centers[:, None]
+    va = va / (jnp.linalg.norm(va, axis=-1, keepdims=True) + 1e-8)
+    vb = vb / (jnp.linalg.norm(vb, axis=-1, keepdims=True) + 1e-8)
+    cosang = jnp.sum(va * vb, axis=-1)  # (N, P)
+
+    w = pair_angle_weight(cosang)
+    both_vis = vis[:, pairs[:, 0]] & vis[:, pairs[:, 1]]  # (N, P)
+    w = jnp.where(both_vis, w, 0.0)
+
+    top_w, top_i = jax.lax.top_k(w, n_pairs)  # (N, n_pairs)
+    sel = pairs[top_i]  # (N, n_pairs, 2)
+    # If fewer than n_pairs are visible, weights are 0 and fusion's
+    # denominator handles it; guard against all-zero with a tiny floor on
+    # the best pair.
+    top_w = top_w.at[:, 0].set(jnp.maximum(top_w[:, 0], 1e-3))
+    return sel, top_w
+
+
+def select_pairs_geometric(
+    Ps: np.ndarray,
+    origins: np.ndarray,
+    n_pairs: int,
+    image_hw: Tuple[int, int],
+    extent_mm: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Geometric top-Nv pair selection for a batch of cubes.
+
+    Returns (pair_idx (N, Nv, 2) int32, weights (N, Nv) float32).
+    """
+    Ps = jnp.asarray(Ps, jnp.float32)
+    origins = jnp.asarray(origins, jnp.float32)
+    pairs = jnp.asarray(candidate_pairs(Ps.shape[0]))
+    if extent_mm is None:
+        raise ValueError("extent_mm required")
+    sel, w = _select_geometric_jit(
+        Ps, origins, pairs, float(extent_mm), n_pairs, tuple(image_hw)
+    )
+    return np.asarray(sel), np.asarray(w)
+
+
+def select_pairs_learned(
+    Ps: np.ndarray,
+    origins: np.ndarray,
+    n_pairs: int,
+    image_hw: Tuple[int, int],
+    extent_mm: float,
+    similarity: jnp.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Learned selection: geometric weight x learned view-similarity.
+
+    Args:
+      similarity: (V, V) symmetric matrix of learned patch-embedding
+        similarities between views (from pairnet.view_similarity_matrix),
+        already mapped to [0, 1].
+    """
+    Ps_j = jnp.asarray(Ps, jnp.float32)
+    origins_j = jnp.asarray(origins, jnp.float32)
+    pairs = jnp.asarray(candidate_pairs(Ps_j.shape[0]))
+    sel, w_geo = _select_geometric_jit(
+        Ps_j, origins_j, pairs, float(extent_mm), n_pairs, tuple(image_hw)
+    )
+    sim = jnp.asarray(similarity)
+    w_sim = sim[sel[..., 0], sel[..., 1]]  # (N, Nv)
+    w = w_geo * jnp.clip(w_sim, 0.0, 1.0)
+    w = w.at[:, 0].set(jnp.maximum(w[:, 0], 1e-3))
+    return np.asarray(sel), np.asarray(w)

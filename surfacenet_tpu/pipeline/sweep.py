@@ -1,0 +1,284 @@
+"""Batched scene sweep (SURVEY.md C9) — the TPU replacement for the
+reference's sequential per-cube loop (SURVEY.md SS3.1 "HOT LOOP").
+
+Structure (two-phase, SURVEY.md SS7 "Sparsity vs fixed shapes"):
+  1. Host-side enumeration + cheap prefilter: tile the scene bbox into
+     overlapping cubes, keep cubes visible in >= min_views frusta, compact
+     the survivors into fixed-size padded batches.
+  2. One jitted device program per batch: CVC gather for all (cube x pair)
+     work items -> 3D CNN -> per-cube weighted fusion -> (adaptive)
+     threshold -> ray pooling -> thinned occupancy + color.  Static shapes
+     throughout; padding lanes are masked out on the host.
+
+The per-batch function is also the unit that ``parallel/`` shards across a
+device mesh (cube axis = data parallel; block axis = scene blocks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenet_tpu.config import Config
+from surfacenet_tpu.geometry.camera import cube_visible
+from surfacenet_tpu.ops.cvc import build_cvc, build_cvc_batch
+from surfacenet_tpu.ops.fusion import adaptive_threshold, fuse_pairs
+from surfacenet_tpu.ops.ray_pooling import ray_pool
+from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
+
+# A predictor maps a CVC-pair batch (B, D, D, D, 2C) -> probs (B, D, D, D).
+Predictor = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def photoconsistency_predictor(x: jnp.ndarray) -> jnp.ndarray:
+    """Model-free oracle predictor for golden tests (SURVEY.md SS4).
+
+    Surface probability from photo-consistency of the two CVCs: where the two
+    views agree on a (textured) color, a surface is likely.  Not the learned
+    net — used to validate the geometry/fusion/thinning pipeline in isolation
+    and as a fallback when no weights are available.
+    """
+    c = x.shape[-1] // 2
+    a, b = x[..., :c], x[..., c:]
+    d2 = jnp.mean((a - b) ** 2, axis=-1)
+    # informative only where there is texture: weight by local contrast
+    contrast = jnp.mean(a * a + b * b, axis=-1)
+    score = jnp.exp(-d2 * 60.0) * (1.0 - jnp.exp(-contrast * 30.0))
+    return score
+
+
+def enumerate_cubes(
+    bbox_min: np.ndarray, bbox_max: np.ndarray, cfg: Config
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tile the scene bbox into overlapping cubes.
+
+    Returns (grid_idx (N, 3) int, origins (N, 3) float64 mm).
+    """
+    s = cfg.voxel.voxel_size_mm
+    D = cfg.voxel.cube_size
+    stride_mm = cfg.voxel.stride * s
+    n = np.maximum(
+        np.ceil((bbox_max - bbox_min - D * s) / stride_mm).astype(int) + 1, 1
+    )
+    gi, gj, gk = np.meshgrid(
+        np.arange(n[0]), np.arange(n[1]), np.arange(n[2]), indexing="ij"
+    )
+    grid = np.stack([gi, gj, gk], axis=-1).reshape(-1, 3)
+    origins = bbox_min + grid * stride_mm
+    return grid, origins
+
+
+def prefilter_cubes(
+    Ps: np.ndarray,
+    origins: np.ndarray,
+    image_hw: Tuple[int, int],
+    cfg: Config,
+) -> np.ndarray:
+    """Frustum prefilter: keep cubes visible in >= min_views views.
+
+    Returns bool mask (N,).  Runs as one jitted call on device (cheap), then
+    compaction happens host-side — the classic occupancy-compaction split.
+    """
+    if not cfg.sweep.prefilter:
+        return np.ones(len(origins), bool)
+    vis = cube_visible(
+        jnp.asarray(Ps, jnp.float32),
+        jnp.asarray(origins, jnp.float32),
+        cfg.voxel.cube_extent_mm,
+        image_hw,
+    )  # (N, V)
+    nvis = np.asarray(jnp.sum(vis, axis=-1))
+    return nvis >= cfg.sweep.min_views_visible
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
+        "predict",
+    ),
+)
+def cube_batch_step(
+    images: jnp.ndarray,  # (V, H, W, 3)
+    Ps: jnp.ndarray,  # (V, 3, 4) float32
+    origins: jnp.ndarray,  # (Nc, 3) float32
+    pair_idx: jnp.ndarray,  # (Nc, Npairs, 2) int32
+    pair_w: jnp.ndarray,  # (Nc, Npairs) float32
+    *,
+    D: int,
+    s: float,
+    n_pairs: int,
+    tau: float,
+    gamma: float,
+    adaptive: bool,
+    center_colors: bool,
+    predict: Predictor,
+):
+    """One fused device program over a fixed-size batch of cubes.
+
+    Returns (occupancy (Nc,D,D,D) bool, fused (Nc,D,D,D) f32,
+             color (Nc,D,D,D,3) f32).
+    """
+    Nc = origins.shape[0]
+    flat_pairs = pair_idx.reshape(Nc * n_pairs, 2)
+    flat_origins = jnp.repeat(origins, n_pairs, axis=0)
+
+    x, valid = build_cvc_batch(
+        images, Ps, flat_pairs, flat_origins, D, s, center_colors
+    )  # (Nc*Np, D,D,D, 6), (Nc*Np, D,D,D)
+
+    probs = predict(x)  # (Nc*Np, D, D, D)
+    probs = probs.reshape(Nc, n_pairs, D, D, D)
+    valid = valid.reshape(Nc, n_pairs, D, D, D)
+
+    fused = jax.vmap(fuse_pairs)(probs, pair_w, valid)  # (Nc, D,D,D)
+
+    if adaptive:
+        taus = adaptive_threshold(
+            fused, jnp.linspace(0.3, 0.9, 7), target_density=0.02
+        )
+    else:
+        taus = jnp.full((Nc,), tau, jnp.float32)
+
+    # pooling views: the distinct views of this cube's selected pairs
+    pool_views = pair_idx.reshape(Nc, n_pairs * 2)
+
+    def _pool_one(fp, o, pv, t):
+        Pv = Ps[pv]  # (2*Np, 3, 4)
+        occ, _ = ray_pool(fp, o, s, Pv, t, gamma)
+        return occ
+
+    occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
+
+    # Color: average the two un-centered CVCs of the strongest pair.
+    best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
+
+    def _color_one(o, pi):
+        ca, va = build_cvc(
+            images[pi[0]], Ps[pi[0]], o, D, s, center_colors=False
+        )
+        cb, vb = build_cvc(
+            images[pi[1]], Ps[pi[1]], o, D, s, center_colors=False
+        )
+        wsum = va.astype(jnp.float32) + vb.astype(jnp.float32)
+        return (ca + cb) / jnp.maximum(wsum, 1.0)[..., None]
+
+    color = jax.vmap(_color_one)(
+        origins, jnp.take_along_axis(
+            pair_idx, best[:, None, None], axis=1
+        )[:, 0]
+    )
+    return occ, fused, color
+
+
+@dataclasses.dataclass
+class SweepStats:
+    n_cubes_total: int = 0
+    n_cubes_after_prefilter: int = 0
+    n_cubes_nonempty: int = 0
+    n_batches: int = 0
+
+
+def run_sweep(
+    images: np.ndarray,
+    Ps: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    cfg: Config,
+    predictor: Predictor,
+    pair_selector: Optional[Callable] = None,
+    ledger_path: Optional[str] = None,
+) -> Tuple[SparseCubeStore, SweepStats]:
+    """Full single-host scene sweep -> sparse store.
+
+    Args:
+      predictor: jit-compatible (B, D,D,D, 6) -> (B, D,D,D) model forward.
+      pair_selector: optional callable (Ps, origins) -> (pair_idx, pair_w)
+        with shapes (N, Npairs, 2), (N, Npairs).  Defaults to the geometric
+        top-Nv selector in ``view_pairs.select_pairs_geometric``.
+    """
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+
+    stats = SweepStats()
+    D = cfg.voxel.cube_size
+    s = cfg.voxel.voxel_size_mm
+    hw = images.shape[1:3]
+
+    grid, origins = enumerate_cubes(
+        np.asarray(bbox_min, np.float64), np.asarray(bbox_max, np.float64),
+        cfg,
+    )
+    stats.n_cubes_total = len(origins)
+
+    keep = prefilter_cubes(Ps, origins, hw, cfg)
+    grid, origins = grid[keep], origins[keep]
+    stats.n_cubes_after_prefilter = len(origins)
+
+    store = SparseCubeStore(
+        scene_origin=np.asarray(bbox_min, np.float64),
+        voxel_size_mm=s,
+        cube_size=D,
+        stride=cfg.voxel.stride,
+        ledger_path=ledger_path,
+    )
+    # resume: skip cubes already in the ledger
+    done = store.done_set()
+    todo = np.array([tuple(g) not in done for g in grid], bool)
+    grid, origins = grid[todo], origins[todo]
+
+    if len(origins) == 0:
+        return store, stats
+
+    if pair_selector is None:
+        pair_selector = functools.partial(
+            select_pairs_geometric, n_pairs=cfg.fusion.n_view_pairs,
+            image_hw=hw, extent_mm=cfg.voxel.cube_extent_mm,
+        )
+    pair_idx, pair_w = pair_selector(Ps, origins)
+    pair_idx = np.asarray(pair_idx)
+    pair_w = np.asarray(pair_w)
+
+    images_d = jnp.asarray(images, jnp.float32)
+    Ps_d = jnp.asarray(Ps, jnp.float32)
+
+    B = cfg.sweep.cube_batch
+    n = len(origins)
+    n_pad = (-n) % B
+    if n_pad:
+        origins = np.concatenate([origins, origins[:1].repeat(n_pad, 0)])
+        pair_idx = np.concatenate([pair_idx, pair_idx[:1].repeat(n_pad, 0)])
+        pair_w = np.concatenate([pair_w, pair_w[:1].repeat(n_pad, 0)])
+
+    for b0 in range(0, n + n_pad, B):
+        occ, fused, color = cube_batch_step(
+            images_d,
+            Ps_d,
+            jnp.asarray(origins[b0 : b0 + B], jnp.float32),
+            jnp.asarray(pair_idx[b0 : b0 + B], jnp.int32),
+            jnp.asarray(pair_w[b0 : b0 + B], jnp.float32),
+            D=D,
+            s=s,
+            n_pairs=cfg.fusion.n_view_pairs,
+            tau=cfg.fusion.tau,
+            gamma=cfg.fusion.gamma,
+            adaptive=cfg.fusion.adaptive_threshold,
+            center_colors=cfg.voxel.center_colors,
+            predict=predictor,
+        )
+        occ = np.asarray(occ)
+        fused = np.asarray(fused)
+        color = np.asarray(color)
+        stats.n_batches += 1
+        for i in range(min(B, n - b0)):
+            gi = tuple(grid[b0 + i])
+            if occ[i].any():
+                stats.n_cubes_nonempty += 1
+            store.add(
+                CubeResult(gi, occ[i], fused[i], color[i])
+            )
+    return store, stats
