@@ -55,6 +55,16 @@ class ModelConfig:
     use_batchnorm: bool = True
     dtype: str = "bfloat16"  # compute dtype on TPU (params stay f32)
 
+    @staticmethod
+    def tiny() -> "ModelConfig":
+        """Small config for tests / CPU (fast compile, same topology)."""
+        return ModelConfig(
+            block_channels=(8, 12, 16, 16),
+            convs_per_block=(1, 1, 1, 1),
+            side_channels=4,
+            dtype="float32",
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class PairNetConfig:

@@ -39,6 +39,7 @@ def ray_max_mask_single_view(
     s: float,
     P: jnp.ndarray,
     raster_size: int = 128,
+    auto_scale: bool = True,
 ) -> jnp.ndarray:
     """Per-voxel mask: is this voxel the max-probability voxel on its ray?
 
@@ -50,6 +51,11 @@ def ray_max_mask_single_view(
       raster_size: R, static side of the local raster window (pixels).  Must
         cover the cube's projected footprint; voxels falling outside the
         window are conservatively kept out of the max (mask False).
+      auto_scale: when the image resolution is finer than the voxel
+        footprint, native pixel rays are narrower than a voxel and thinning
+        degenerates (every voxel is its own ray).  With auto_scale the ray
+        raster is coarsened so one ray is ~one voxel footprint — and the
+        cube's footprint always fits the static window.
 
     Returns:
       (D, D, D) bool.
@@ -57,17 +63,31 @@ def ray_max_mask_single_view(
     D = prob.shape[0]
     centers = voxel_centers(origin.astype(jnp.float32), D, s).reshape(-1, 3)
     uv, w = project(P, centers)
-    ui = jnp.floor(uv[:, 0]).astype(jnp.int32)
-    vi = jnp.floor(uv[:, 1]).astype(jnp.int32)
     infront = w > 0
+    u = uv[:, 0]
+    v = uv[:, 1]
 
-    # Anchor the window at the footprint min (integer -> ids match the true
-    # pixel grid).  Use only in-front voxels for the anchor.
-    big = jnp.int32(2**30)
-    u_min = jnp.min(jnp.where(infront, ui, big))
-    v_min = jnp.min(jnp.where(infront, vi, big))
-    uu = ui - u_min
-    vv = vi - v_min
+    big = jnp.float32(1e9)
+    u_min = jnp.min(jnp.where(infront, u, big))
+    v_min = jnp.min(jnp.where(infront, v, big))
+    if auto_scale:
+        u_max = jnp.max(jnp.where(infront, u, -big))
+        v_max = jnp.max(jnp.where(infront, v, -big))
+        extent = jnp.maximum(u_max - u_min, v_max - v_min)
+        # one ray ~ one voxel column (a face-on cube footprint spans D
+        # columns); never finer than 1 px or coarser than the window allows.
+        scale = jnp.maximum(extent / D, 1.0)
+        scale = jnp.maximum(scale, (extent + 1.0) / (raster_size - 1))
+    else:
+        scale = jnp.float32(1.0)
+
+    ui = jnp.floor(u / scale).astype(jnp.int32)
+    vi = jnp.floor(v / scale).astype(jnp.int32)
+    big_i = jnp.int32(2**30)
+    u_min_i = jnp.min(jnp.where(infront, ui, big_i))
+    v_min_i = jnp.min(jnp.where(infront, vi, big_i))
+    uu = ui - u_min_i
+    vv = vi - v_min_i
 
     R = raster_size
     inside = infront & (uu >= 0) & (uu < R) & (vv >= 0) & (vv < R)
@@ -89,6 +109,7 @@ def ray_pool(
     tau: jnp.ndarray | float,
     gamma: float,
     raster_size: int = 128,
+    auto_scale: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full thinning for one cube.
 
@@ -105,7 +126,9 @@ def ray_pool(
       votes: (D, D, D) int32 number of views voting voxel as ray-max.
     """
     masks = jax.vmap(
-        lambda P: ray_max_mask_single_view(prob, origin, s, P, raster_size)
+        lambda P: ray_max_mask_single_view(
+            prob, origin, s, P, raster_size, auto_scale
+        )
     )(Ps)
     votes = jnp.sum(masks.astype(jnp.int32), axis=0)
     n_views = Ps.shape[0]
@@ -122,6 +145,7 @@ def ray_pool_batch(
     taus: jnp.ndarray,
     gamma: float,
     raster_size: int = 128,
+    auto_scale: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmap of ray_pool over a batch of cubes.
 
@@ -133,5 +157,7 @@ def ray_pool_batch(
         Ps = jnp.broadcast_to(Ps, (probs.shape[0],) + Ps.shape)
     taus = jnp.broadcast_to(jnp.asarray(taus), (probs.shape[0],))
     return jax.vmap(
-        lambda p, o, P, t: ray_pool(p, o, s, P, t, gamma, raster_size)
+        lambda p, o, P, t: ray_pool(
+            p, o, s, P, t, gamma, raster_size, auto_scale
+        )
     )(probs, origins, Ps, taus)

@@ -1,0 +1,101 @@
+"""Halo exchange for block-sharded scene volumes (SURVEY.md SS2/SS5).
+
+The scene's voxel lattice is partitioned into contiguous blocks along z
+(mesh axis ``block``).  Ray pooling and overlap fusion near block boundaries
+need each block to see a slab of its neighbors' probabilities — the spatial
+analog of ring-attention neighbor passing.  Implemented with
+``jax.lax.ppermute`` inside ``shard_map``: one bidirectional neighbor
+exchange per step, riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def exchange_halo_1d(
+    vol: jnp.ndarray,
+    halo: int,
+    axis_name: str = "block",
+) -> jnp.ndarray:
+    """Inside shard_map: pad the local z-slab with neighbors' boundary slabs.
+
+    Args:
+      vol: local block volume (Z_local, Y, X) (leading axis is the sharded
+        one).  halo: slab width in voxels.
+
+    Returns:
+      (Z_local + 2*halo, Y, X): [lower-neighbor slab | local | upper slab].
+      Edge blocks receive zeros (same as "no neighbor" semantics).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    top = vol[-halo:]  # slab to send up
+    bot = vol[:halo]  # slab to send down
+
+    # send top slab to (i+1): device i receives from i-1
+    recv_from_below = jax.lax.ppermute(
+        top, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    # send bottom slab to (i-1): device i receives from i+1
+    recv_from_above = jax.lax.ppermute(
+        bot, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+
+    # zero the wrapped edges (non-periodic scene)
+    zero = jnp.zeros_like(recv_from_below)
+    recv_from_below = jnp.where(idx == 0, zero, recv_from_below)
+    recv_from_above = jnp.where(idx == n - 1, zero, recv_from_above)
+
+    return jnp.concatenate([recv_from_below, vol, recv_from_above], axis=0)
+
+
+def halo_exchange(
+    mesh: Mesh,
+    vol: jnp.ndarray,
+    halo: int,
+    axis_name: str = "block",
+) -> jnp.ndarray:
+    """Public entry: block-sharded global volume -> locally haloed volume.
+
+    Args:
+      vol: (Z, Y, X) global volume, sharded on the leading axis over
+        ``axis_name``.
+    Returns:
+      (Z + 2*halo*n_blocks, ...) array whose per-device local shard is the
+      haloed local volume (still sharded on the leading axis).
+    """
+    f = shard_map(
+        functools.partial(exchange_halo_1d, halo=halo, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    return f(vol)
+
+
+def boundary_sum(
+    mesh: Mesh,
+    partial_vals: jnp.ndarray,
+    axis_name: str = "cube",
+) -> jnp.ndarray:
+    """All-reduce partial boundary-voxel contributions across an axis.
+
+    Used when different devices computed view-pair subsets of the same cube
+    (pair-parallel fusion): p = psum(w*p) / psum(w) happens in the caller;
+    this is the bare psum collective wrapped for shard_map use.
+    """
+    f = shard_map(
+        lambda x: jax.lax.psum(x, axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(),
+    )
+    return f(partial_vals)

@@ -31,25 +31,50 @@ from surfacenet_tpu.ops.fusion import adaptive_threshold, fuse_pairs
 from surfacenet_tpu.ops.ray_pooling import ray_pool
 from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
 
-# A predictor maps a CVC-pair batch (B, D, D, D, 2C) -> probs (B, D, D, D).
-Predictor = Callable[[jnp.ndarray], jnp.ndarray]
+# A predictor maps a CVC-pair batch (B, D, D, D, 2C) plus the work items'
+# cube origins (B, 3) -> per-voxel probs (B, D, D, D).  Model-backed
+# predictors ignore origins; analytic test oracles use them.
+Predictor = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def photoconsistency_predictor(x: jnp.ndarray) -> jnp.ndarray:
+def _local_variance(v: jnp.ndarray, window: int = 3) -> jnp.ndarray:
+    """Mean-over-channels local spatial variance of a (B, D, D, D, C) volume."""
+    dims = (1, window, window, window, 1)
+    ones = (1, 1, 1, 1, 1)
+
+    def avg(y):
+        s = jax.lax.reduce_window(
+            y, 0.0, jax.lax.add, dims, ones, "SAME"
+        )
+        n = jax.lax.reduce_window(
+            jnp.ones_like(y), 0.0, jax.lax.add, dims, ones, "SAME"
+        )
+        return s / n
+
+    m = avg(v)
+    m2 = avg(v * v)
+    return jnp.mean(jnp.maximum(m2 - m * m, 0.0), axis=-1)
+
+
+def photoconsistency_predictor(
+    x: jnp.ndarray, origins: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Model-free oracle predictor for golden tests (SURVEY.md SS4).
 
     Surface probability from photo-consistency of the two CVCs: where the two
-    views agree on a (textured) color, a surface is likely.  Not the learned
-    net — used to validate the geometry/fusion/thinning pipeline in isolation
-    and as a fallback when no weights are available.
+    views agree on a *textured* color, a surface is likely.  Texture is
+    measured as local spatial variance — textureless (background) regions are
+    photo-consistent but carry no surface evidence and are gated to ~0.
+    Not the learned net — used to validate the geometry/fusion/thinning
+    pipeline in isolation and as a fallback when no weights are available.
     """
     c = x.shape[-1] // 2
     a, b = x[..., :c], x[..., c:]
     d2 = jnp.mean((a - b) ** 2, axis=-1)
-    # informative only where there is texture: weight by local contrast
-    contrast = jnp.mean(a * a + b * b, axis=-1)
-    score = jnp.exp(-d2 * 60.0) * (1.0 - jnp.exp(-contrast * 30.0))
-    return score
+    consistency = jnp.exp(-d2 * 60.0)
+    tex = jnp.minimum(_local_variance(a), _local_variance(b))
+    texture_gate = 1.0 - jnp.exp(-tex * 300.0)
+    return consistency * texture_gate
 
 
 def enumerate_cubes(
@@ -132,7 +157,7 @@ def cube_batch_step(
         images, Ps, flat_pairs, flat_origins, D, s, center_colors
     )  # (Nc*Np, D,D,D, 6), (Nc*Np, D,D,D)
 
-    probs = predict(x)  # (Nc*Np, D, D, D)
+    probs = predict(x, flat_origins)  # (Nc*Np, D, D, D)
     probs = probs.reshape(Nc, n_pairs, D, D, D)
     valid = valid.reshape(Nc, n_pairs, D, D, D)
 

@@ -1,0 +1,146 @@
+"""Triplet training of the view-pair weighting net (SURVEY.md C12, SS3.3).
+
+Anchor/positive: patches of the *same* surface point seen from two views;
+negative: a patch of a *different* surface point.  The embedding net
+(models/pairnet.py) is trained with a margin triplet loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from surfacenet_tpu.config import Config
+from surfacenet_tpu.data.synthetic import SyntheticScene
+from surfacenet_tpu.geometry.camera import in_frustum, project
+from surfacenet_tpu.models.pairnet import PairNet, init_pairnet, triplet_loss
+
+
+def extract_patches(
+    images: np.ndarray, view_idx: np.ndarray, uv: np.ndarray, size: int
+) -> np.ndarray:
+    """Host-side integer patch crops with zero padding.
+
+    Args:
+      images: (V, H, W, 3); view_idx: (B,); uv: (B, 2) pixel centers.
+    Returns:
+      (B, size, size, 3).
+    """
+    V, H, W, C = images.shape
+    B = len(view_idx)
+    out = np.zeros((B, size, size, C), np.float32)
+    half = size // 2
+    u0 = np.round(uv[:, 0]).astype(int) - half
+    v0 = np.round(uv[:, 1]).astype(int) - half
+    for i in range(B):
+        ys = slice(max(v0[i], 0), min(v0[i] + size, H))
+        xs = slice(max(u0[i], 0), min(u0[i] + size, W))
+        oy = ys.start - v0[i]
+        ox = xs.start - u0[i]
+        crop = images[view_idx[i], ys, xs]
+        out[i, oy : oy + crop.shape[0], ox : ox + crop.shape[1]] = crop
+    return out
+
+
+def sample_triplets(
+    scene: SyntheticScene,
+    cfg: Config,
+    rng: np.random.Generator,
+    batch: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sample (anchor, positive, negative) patch batches.
+
+    Points/views are resampled until the surface point is inside both the
+    anchor and positive frusta (rejection on host; fixed output shape).
+    """
+    B = batch or cfg.train.batch_size
+    P = cfg.pairnet.patch_size
+    V = scene.Ps.shape[0]
+    hw = scene.images.shape[1:3]
+
+    anchors = np.zeros((B, P, P, 3), np.float32)
+    positives = np.zeros((B, P, P, 3), np.float32)
+    negatives = np.zeros((B, P, P, 3), np.float32)
+
+    Ps = scene.Ps
+    filled = 0
+    while filled < B:
+        n = (B - filled) * 2
+        pts = scene.surface_points(n, seed=int(rng.integers(1 << 31)))
+        va = rng.integers(0, V, n)
+        vb = (va + rng.integers(1, max(V // 3, 2), n)) % V
+        uv_a, wa = project(jnp.asarray(Ps[va]), jnp.asarray(pts[:, None]))
+        uv_b, wb = project(jnp.asarray(Ps[vb]), jnp.asarray(pts[:, None]))
+        uv_a = np.asarray(uv_a)[:, 0]
+        uv_b = np.asarray(uv_b)[:, 0]
+        ok = (
+            (np.asarray(wa)[:, 0] > 0)
+            & (np.asarray(wb)[:, 0] > 0)
+            & (uv_a > P // 2).all(-1)
+            & (uv_b > P // 2).all(-1)
+            & (uv_a < [hw[1] - P // 2, hw[0] - P // 2]).all(-1)
+            & (uv_b < [hw[1] - P // 2, hw[0] - P // 2]).all(-1)
+        )
+        idx = np.nonzero(ok)[0][: B - filled]
+        if len(idx) == 0:
+            continue
+        k = len(idx)
+        anchors[filled : filled + k] = extract_patches(
+            scene.images, va[idx], uv_a[idx], P
+        )
+        positives[filled : filled + k] = extract_patches(
+            scene.images, vb[idx], uv_b[idx], P
+        )
+        # negatives: positive patches of a shuffled other point
+        perm = np.roll(idx, 1)
+        negatives[filled : filled + k] = extract_patches(
+            scene.images, vb[perm], uv_b[perm], P
+        )
+        filled += k
+    return anchors, positives, negatives
+
+
+@functools.partial(jax.jit, static_argnames=("margin",))
+def pair_train_step(state, anc, pos, neg, *, margin: float):
+    def loss_fn(params):
+        ea = state.apply_fn({"params": params}, anc)
+        ep = state.apply_fn({"params": params}, pos)
+        en = state.apply_fn({"params": params}, neg)
+        return triplet_loss(ea, ep, en, margin)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads=grads), loss
+
+
+def train_pairnet(
+    scene: SyntheticScene,
+    cfg: Config,
+    n_steps: int = 200,
+    lr: float = 1e-3,
+) -> Tuple[PairNet, Any, list]:
+    """Train the pair net on a scene; returns (model, variables, loss log)."""
+    rng = np.random.default_rng(cfg.train.seed)
+    model, variables = init_pairnet(
+        cfg.pairnet, jax.random.PRNGKey(cfg.train.seed)
+    )
+    state = train_state.TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=optax.adam(lr),
+    )
+    losses = []
+    for step in range(n_steps):
+        anc, pos, neg = sample_triplets(scene, cfg, rng)
+        state, loss = pair_train_step(
+            state,
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(neg),
+            margin=cfg.pairnet.margin,
+        )
+        losses.append(float(loss))
+    return model, {"params": state.params}, losses

@@ -1,0 +1,257 @@
+"""SurfaceNet training loop (SURVEY.md C11, paper SS6.1).
+
+Cube sampling around the GT surface, voxelized occupancy labels,
+class-balanced BCE, SGD/momentum (or adam), Orbax checkpoints.
+
+TPU-first structure: the host only samples *indices* (cube origins, view
+pairs); the CVC gather + forward + backward is one jitted device program, so
+the step is a single XLA executable with no host roundtrip in the middle.
+The same ``train_step`` is what ``parallel/`` shards over the device mesh
+(batch axis = data parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from surfacenet_tpu.config import Config
+from surfacenet_tpu.data.synthetic import SyntheticScene
+from surfacenet_tpu.geometry.camera import voxel_centers
+from surfacenet_tpu.models.surfacenet import SurfaceNet, init_surfacenet
+from surfacenet_tpu.ops.cvc import build_cvc_batch
+from surfacenet_tpu.train.losses import class_balanced_bce
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState extended with BatchNorm running stats."""
+
+    batch_stats: Any = None
+
+
+def create_train_state(cfg: Config, rng: jax.Array) -> Tuple[SurfaceNet, TrainState]:
+    model, variables = init_surfacenet(
+        cfg.model, rng, D=cfg.voxel.cube_size
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.sgd(cfg.train.lr, momentum=cfg.train.momentum),
+    )
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    return model, state
+
+
+@functools.partial(jax.jit, static_argnames=("D", "s", "balanced", "center_colors"))
+def train_step(
+    state: TrainState,
+    images: jnp.ndarray,  # (V, H, W, 3)
+    Ps: jnp.ndarray,  # (V, 3, 4)
+    origins: jnp.ndarray,  # (B, 3)
+    pair_idx: jnp.ndarray,  # (B, 2)
+    labels: jnp.ndarray,  # (B, D, D, D)
+    *,
+    D: int,
+    s: float,
+    balanced: bool,
+    center_colors: bool,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """One fused CVC-gather + forward + backward + update step."""
+
+    x, valid = build_cvc_batch(
+        images, Ps, pair_idx, origins, D, s, center_colors
+    )
+
+    def loss_fn(params):
+        out, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x,
+            train=True,
+            return_logits=True,
+            mutable=["batch_stats"],
+        )
+        loss = class_balanced_bce(out, labels, valid, balanced)
+        return loss, mutated
+
+    (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=mutated["batch_stats"])
+    return state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("D", "s", "center_colors"))
+def eval_step(
+    state: TrainState,
+    images, Ps, origins, pair_idx, labels,
+    *, D: int, s: float, center_colors: bool,
+):
+    """Loss + IoU@0.5 on a batch without updating state."""
+    x, valid = build_cvc_batch(
+        images, Ps, pair_idx, origins, D, s, center_colors
+    )
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False, return_logits=True,
+    )
+    loss = class_balanced_bce(logits, labels, valid, balanced=True)
+    pred = (jax.nn.sigmoid(logits) > 0.5) & valid
+    gt = (labels > 0.5) & valid
+    inter = jnp.sum(pred & gt)
+    union = jnp.maximum(jnp.sum(pred | gt), 1)
+    return loss, inter / union
+
+
+def sample_training_batch(
+    scene: SyntheticScene,
+    cfg: Config,
+    rng: np.random.Generator,
+    batch: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side sampling of (origins, pair_idx, labels) for one step.
+
+    Cubes are centered near random GT-surface points with jitter (reference
+    samples cubes around the GT surface; SURVEY.md C11); labels voxelize the
+    analytic surface.
+    """
+    B = batch or cfg.train.batch_size
+    D = cfg.voxel.cube_size
+    s = cfg.voxel.voxel_size_mm
+    V = scene.Ps.shape[0]
+
+    pts = scene.surface_points(B, seed=int(rng.integers(1 << 31)))
+    jitter = rng.uniform(-0.25, 0.25, (B, 3)) * D * s
+    origins = pts - D * s / 2.0 + jitter
+
+    # labels: voxelize analytic surface at voxel centers
+    r = (np.arange(D) + 0.5) * s
+    gi, gj, gk = np.meshgrid(r, r, r, indexing="ij")
+    local = np.stack([gi, gj, gk], axis=-1)  # (D, D, D, 3)
+    centers = origins[:, None, None, None, :] + local
+    labels = scene.occupancy(centers, s).astype(np.float32)
+
+    # random view pair (views are all inward-facing in the ring scene; for
+    # DTU this uses visibility-filtered pairs)
+    a = rng.integers(0, V, B)
+    off = rng.integers(1, max(V // 4, 2), B)
+    b = (a + off) % V
+    pair_idx = np.stack([a, b], axis=-1).astype(np.int32)
+    return origins.astype(np.float32), pair_idx, labels
+
+
+@dataclasses.dataclass
+class TrainLog:
+    steps: list
+    losses: list
+
+
+def train_surfacenet(
+    scene: SyntheticScene,
+    cfg: Config,
+    n_steps: Optional[int] = None,
+    state: Optional[TrainState] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_every: int = 50,
+) -> Tuple[TrainState, TrainLog]:
+    """Single-host training driver on a (synthetic or DTU-backed) scene."""
+    rng = np.random.default_rng(cfg.train.seed)
+    if state is None:
+        _, state = create_train_state(
+            cfg, jax.random.PRNGKey(cfg.train.seed)
+        )
+
+    images = jnp.asarray(scene.images, jnp.float32)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    n_steps = n_steps if n_steps is not None else cfg.train.n_steps
+
+    log = TrainLog(steps=[], losses=[])
+    for step in range(n_steps):
+        origins, pair_idx, labels = sample_training_batch(scene, cfg, rng)
+        state, loss = train_step(
+            state,
+            images, Ps,
+            jnp.asarray(origins), jnp.asarray(pair_idx), jnp.asarray(labels),
+            D=cfg.voxel.cube_size,
+            s=cfg.voxel.voxel_size_mm,
+            balanced=cfg.train.class_balance,
+            center_colors=cfg.voxel.center_colors,
+        )
+        if step % log_every == 0 or step == n_steps - 1:
+            log.steps.append(step)
+            log.losses.append(float(loss))
+        if checkpoint_dir and (
+            (step + 1) % cfg.train.checkpoint_every == 0
+            or step == n_steps - 1
+        ):
+            save_checkpoint(checkpoint_dir, state, step + 1)
+    return state, log
+
+
+# --------------------------------------------------------------- checkpoints
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
+    """Orbax checkpoint of params + batch_stats + opt state (SURVEY.md SS5)."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": step,
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(
+    ckpt_dir: str, cfg: Config, step: Optional[int] = None
+) -> Tuple[TrainState, int]:
+    """Restore the latest (or given) step into a fresh TrainState."""
+    import orbax.checkpoint as ocp
+    import os
+
+    if step is None:
+        steps = [
+            int(d.split("_")[1])
+            for d in os.listdir(ckpt_dir)
+            if d.startswith("step_")
+        ]
+        step = max(steps)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+
+    _, fresh = create_train_state(cfg, jax.random.PRNGKey(0))
+    template = {
+        "params": fresh.params,
+        "batch_stats": fresh.batch_stats,
+        "opt_state": fresh.opt_state,
+        "step": 0,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, template)
+    state = fresh.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return state, step

@@ -1,0 +1,71 @@
+"""Reconstruction metrics: DTU-style accuracy / completeness (SURVEY.md C14).
+
+The reference relies on the external DTU MATLAB evaluation; here the same two
+distances are computed in-framework so synthetic golden tests and DTU-format
+evaluations are self-contained:
+
+  * accuracy: mean distance from predicted points to the GT surface.
+  * completeness: mean distance from GT surface samples to the prediction.
+
+Nearest-neighbor queries run as a chunked brute-force on device (one
+(n, m) distance matrix per chunk — an MXU matmul via the |a-b|^2 expansion),
+which beats host KD-trees for the point counts involved here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _min_dists_chunk(q: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """min over ref of |q - ref|, via the (q.r) matmul expansion."""
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)  # (n, 1)
+    rn = jnp.sum(ref * ref, axis=-1)[None]  # (1, m)
+    d2 = qn + rn - 2.0 * q @ ref.T
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+
+
+def min_dists(
+    query: np.ndarray, ref: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """For each query point, distance to nearest ref point."""
+    query = np.asarray(query, np.float32)
+    ref_j = jnp.asarray(ref, jnp.float32)
+    out = np.empty(len(query), np.float32)
+    for i in range(0, len(query), chunk):
+        out[i : i + chunk] = np.asarray(
+            _min_dists_chunk(jnp.asarray(query[i : i + chunk]), ref_j)
+        )
+    return out
+
+
+def accuracy_completeness(
+    pred_points: np.ndarray,
+    gt_points: np.ndarray,
+    max_dist: Optional[float] = None,
+) -> Tuple[float, float]:
+    """DTU-style metrics in mm.
+
+    Args:
+      pred_points: (N, 3) reconstructed points.
+      gt_points: (M, 3) ground-truth surface samples.
+      max_dist: optional truncation (the DTU protocol truncates outlier
+        distances); applied to both directions.
+
+    Returns:
+      (accuracy_mm, completeness_mm) — lower is better.
+    """
+    if len(pred_points) == 0:
+        return float("inf"), float("inf")
+    acc = min_dists(pred_points, gt_points)
+    comp = min_dists(gt_points, pred_points)
+    if max_dist is not None:
+        acc = np.minimum(acc, max_dist)
+        comp = np.minimum(comp, max_dist)
+    return float(acc.mean()), float(comp.mean())

@@ -1,0 +1,166 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md SS4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from surfacenet_tpu.parallel.halo import boundary_sum, halo_exchange
+from surfacenet_tpu.parallel.mesh import (
+    block_sharded,
+    cube_sharded,
+    make_mesh,
+    replicated,
+)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (1, 8)
+    m2 = make_mesh(n_block=2)
+    assert m2.devices.shape == (2, 4)
+    assert m2.axis_names == ("block", "cube")
+
+
+def test_halo_exchange_correctness():
+    m = make_mesh(n_block=4)
+    Z = 16  # 4 voxels per block
+    vol = jnp.arange(Z * 4 * 4, dtype=jnp.float32).reshape(Z, 4, 4)
+    vol = jax.device_put(vol, NamedSharding(m, P("block")))
+    out = np.asarray(halo_exchange(m, vol, halo=1))
+    ref = np.arange(Z * 4 * 4, dtype=np.float32).reshape(Z, 4, 4)
+
+    # per-block local result: [below slab | local 4 | above slab]
+    for b in range(4):
+        lo, hi = b * 4, (b + 1) * 4
+        below = ref[lo - 1 : lo] if b > 0 else np.zeros((1, 4, 4))
+        above = ref[hi : hi + 1] if b < 3 else np.zeros((1, 4, 4))
+        expected = np.concatenate([below, ref[lo:hi], above], axis=0)
+        got = out[b * 6 : (b + 1) * 6]
+        assert np.allclose(got, expected), f"block {b}"
+
+
+def test_halo_exchange_width2():
+    m = make_mesh(n_block=2)
+    vol = jnp.arange(8 * 2 * 2, dtype=jnp.float32).reshape(8, 2, 2)
+    vol = jax.device_put(vol, NamedSharding(m, P("block")))
+    out = np.asarray(halo_exchange(m, vol, halo=2))
+    ref = np.asarray(vol)
+    exp0 = np.concatenate([np.zeros((2, 2, 2)), ref[0:4], ref[4:6]], axis=0)
+    exp1 = np.concatenate([ref[2:4], ref[4:8], np.zeros((2, 2, 2))], axis=0)
+    assert np.allclose(out[:8], exp0)
+    assert np.allclose(out[8:], exp1)
+
+
+def test_boundary_sum():
+    m = make_mesh(n_block=1)  # 8 devices on the cube axis
+    x = jnp.arange(8.0)
+    x = jax.device_put(x, NamedSharding(m, P("cube")))
+    out = np.asarray(boundary_sum(m, x))
+    assert np.allclose(out, np.arange(8.0).sum())
+
+
+def test_sharded_cube_batch_matches_single_device(small_scene):
+    """The sweep's device program must give identical results when its cube
+    batch is sharded across the 8-device mesh."""
+    from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.pipeline.sweep import (
+        cube_batch_step,
+        photoconsistency_predictor,
+    )
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        fusion=FusionConfig(n_view_pairs=2, tau=0.3, gamma=0.6),
+    )
+    hw = small_scene.images.shape[1:3]
+    origins = np.stack(
+        [
+            [-16.0, -16.0, -16.0], [0.0, -16.0, -16.0],
+            [-16.0, 0.0, -16.0], [0.0, 0.0, -16.0],
+            [-16.0, -16.0, 0.0], [0.0, -16.0, 0.0],
+            [-16.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+        ],
+        axis=0,
+    ).astype(np.float32)
+    pair_idx, pair_w = select_pairs_geometric(
+        small_scene.Ps, origins, 2, hw, extent_mm=32.0
+    )
+
+    kw = dict(
+        D=16, s=2.0, n_pairs=2, tau=0.3, gamma=0.6, adaptive=False,
+        center_colors=True, predict=photoconsistency_predictor,
+    )
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+
+    occ1, fused1, color1 = cube_batch_step(
+        images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(pair_w), **kw,
+    )
+
+    mesh = make_mesh()
+    shard = cube_sharded(mesh)
+    rep = replicated(mesh)
+    occ2, fused2, color2 = cube_batch_step(
+        jax.device_put(images, rep),
+        jax.device_put(Ps, rep),
+        jax.device_put(jnp.asarray(origins), shard),
+        jax.device_put(jnp.asarray(pair_idx), shard),
+        jax.device_put(jnp.asarray(pair_w), shard),
+        **kw,
+    )
+    assert np.array_equal(np.asarray(occ1), np.asarray(occ2))
+    assert np.allclose(np.asarray(fused1), np.asarray(fused2), atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(small_scene):
+    """DP-sharded training step: same loss and params as unsharded."""
+    from surfacenet_tpu.config import (
+        Config, ModelConfig, TrainConfig, VoxelConfig,
+    )
+    from surfacenet_tpu.train.train_surface import (
+        create_train_state,
+        sample_training_batch,
+        train_step,
+    )
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=8, lr=1e-2, seed=0),
+    )
+    rng = np.random.default_rng(0)
+    origins, pair_idx, labels = sample_training_batch(small_scene, cfg, rng)
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+    kw = dict(D=16, s=2.0, balanced=True, center_colors=True)
+
+    _, state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    s1, loss1 = train_step(
+        state1, images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(labels), **kw,
+    )
+
+    mesh = make_mesh()
+    shard = cube_sharded(mesh)
+    rep = replicated(mesh)
+    _, state2 = create_train_state(cfg, jax.random.PRNGKey(0))
+    state2 = jax.device_put(state2, rep)
+    s2, loss2 = train_step(
+        state2,
+        jax.device_put(images, rep),
+        jax.device_put(Ps, rep),
+        jax.device_put(jnp.asarray(origins), shard),
+        jax.device_put(jnp.asarray(pair_idx), shard),
+        jax.device_put(jnp.asarray(labels), shard),
+        **kw,
+    )
+    # cross-shard reduction order differs; allow float noise
+    assert abs(float(loss1) - float(loss2)) < 1e-3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)

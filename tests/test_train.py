@@ -1,0 +1,104 @@
+"""Training-loop tests: loss decreases, checkpoints roundtrip, losses math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from surfacenet_tpu.config import (
+    Config,
+    ModelConfig,
+    PairNetConfig,
+    TrainConfig,
+    VoxelConfig,
+)
+from surfacenet_tpu.train.losses import class_balanced_bce
+from surfacenet_tpu.train.train_pair import sample_triplets, train_pairnet
+from surfacenet_tpu.train.train_surface import (
+    create_train_state,
+    restore_checkpoint,
+    sample_training_batch,
+    save_checkpoint,
+    train_surfacenet,
+)
+
+
+def _cfg():
+    return Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        pairnet=PairNetConfig(channels=(8,), embed_dim=8, patch_size=16),
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0),
+    )
+
+
+def test_class_balanced_bce_weighting():
+    # all-negative labels, confident-negative logits -> near-zero loss
+    logits = jnp.full((1, 4, 4, 4), -10.0)
+    labels = jnp.zeros((1, 4, 4, 4))
+    loss = float(class_balanced_bce(logits, labels, balanced=False))
+    assert loss < 1e-3
+    # balanced loss with a rare positive penalizes missing it heavily
+    labels2 = labels.at[0, 0, 0, 0].set(1.0)
+    l_bal = float(class_balanced_bce(logits, labels2, balanced=True))
+    l_unbal = float(class_balanced_bce(logits, labels2, balanced=False))
+    assert l_bal > l_unbal
+
+
+def test_class_balanced_bce_valid_mask():
+    logits = jnp.zeros((1, 2, 2, 2))
+    labels = jnp.ones((1, 2, 2, 2))
+    valid = jnp.zeros((1, 2, 2, 2), bool).at[0, 0, 0, 0].set(True)
+    # only one voxel counts; balanced weights degenerate gracefully
+    loss = float(class_balanced_bce(logits, labels, valid, balanced=False))
+    assert abs(loss - float(jnp.log(2.0))) < 1e-5
+
+
+def test_sample_training_batch_near_surface(small_scene):
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    origins, pair_idx, labels = sample_training_batch(small_scene, cfg, rng)
+    assert origins.shape == (4, 3)
+    assert pair_idx.shape == (4, 2)
+    assert labels.shape == (4, 16, 16, 16)
+    # every sampled cube contains some surface
+    assert (labels.reshape(4, -1).sum(axis=1) > 0).all()
+    # positives are rare
+    assert labels.mean() < 0.2
+    assert (pair_idx[:, 0] != pair_idx[:, 1]).all()
+
+
+def test_training_reduces_loss(small_scene):
+    cfg = _cfg()
+    state, log = train_surfacenet(small_scene, cfg, n_steps=30, log_every=1)
+    first = np.mean(log.losses[:5])
+    last = np.mean(log.losses[-5:])
+    assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg()
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = state.replace(step=7)
+    save_checkpoint(str(tmp_path), state, 7)
+    restored, step = restore_checkpoint(str(tmp_path), cfg)
+    assert step == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_triplet_sampling_and_training(small_scene):
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    anc, pos, neg = sample_triplets(small_scene, cfg, rng, batch=8)
+    assert anc.shape == (8, 16, 16, 3)
+    assert pos.shape == neg.shape == anc.shape
+    # anchors should not be blank
+    assert anc.std() > 0.01
+
+    model, variables, losses = train_pairnet(
+        small_scene, cfg, n_steps=20, lr=3e-3
+    )
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
