@@ -1,0 +1,95 @@
+"""Benchmark: cubes/s/chip for the full per-cube inference program.
+
+Measures the fused device program of the batched sweep (SURVEY.md SS3.1 hot
+loop replacement): CVC-pair gather for Nv view pairs -> SurfaceNet 3D CNN
+(full-size, bf16) -> weighted fusion -> ray pooling, on DTU-like settings
+(32^3 cubes, 5 view pairs, 8 calibrated views at 600x800).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference's absolute throughput was not recoverable (empty
+mount, no network — see BASELINE.md); the reference is known-slow at "order
+hours per scan" on a ~2017 GPU.  A DTU scan at these settings is ~30-60k
+cube-evaluations; 2 h/scan => ~4-8 cubes/s.  We use 5 cubes/s as the
+documented baseline estimate, so vs_baseline = cubes_per_s / 5.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.models.surfacenet import init_surfacenet
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.pipeline.sweep import cube_batch_step
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=0.8, cube_size=32, overlap=8),
+        fusion=FusionConfig(n_view_pairs=5, tau=0.7, gamma=0.8),
+    )
+    D = cfg.voxel.cube_size
+    BATCH = 32
+
+    scene = make_sphere_scene(n_views=8, hw=(600, 800), radius=30.0)
+    images = jnp.asarray(scene.images, jnp.float32)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+
+    model, variables = init_surfacenet(
+        cfg.model, jax.random.PRNGKey(0), D=D
+    )
+
+    def predict(x, origins):
+        return model.apply(variables, x, train=False)
+
+    # cube batch on the sphere surface (non-trivial content)
+    pts = scene.surface_points(BATCH, seed=1)
+    origins = (pts - D * cfg.voxel.voxel_size_mm / 2).astype(np.float32)
+    pair_idx, pair_w = select_pairs_geometric(
+        scene.Ps, origins, cfg.fusion.n_view_pairs,
+        scene.images.shape[1:3], extent_mm=cfg.voxel.cube_extent_mm,
+    )
+
+    kw = dict(
+        D=D, s=cfg.voxel.voxel_size_mm, n_pairs=cfg.fusion.n_view_pairs,
+        tau=cfg.fusion.tau, gamma=cfg.fusion.gamma, adaptive=False,
+        center_colors=True, predict=predict,
+    )
+    args = (
+        images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(pair_w),
+    )
+
+    # warmup + compile
+    out = cube_batch_step(*args, **kw)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = cube_batch_step(*args, **kw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    cubes_per_s = BATCH * n_iters / dt
+    baseline_est = 5.0  # cubes/s, documented estimate (see module docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "inference_cubes_per_s_per_chip",
+                "value": round(cubes_per_s, 2),
+                "unit": "cubes/s (32^3 voxels, 5 view pairs, full model)",
+                "vs_baseline": round(cubes_per_s / baseline_est, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
