@@ -54,6 +54,11 @@ class ModelConfig:
     in_channels: int = 6  # CVC pair: 2 x RGB
     use_batchnorm: bool = True
     dtype: str = "bfloat16"  # compute dtype on TPU (params stay f32)
+    # Side-layer upsampling: "deconv" = learned ConvTranspose (reference
+    # behavior, paper Fig.3) — but the k=2*stride transposed 3D convs are
+    # ~half the network's FLOPs; "resize" = trilinear resize (cheap,
+    # equivalent receptive field, trains from scratch equally well).
+    upsample_mode: str = "resize"
 
     @staticmethod
     def tiny() -> "ModelConfig":

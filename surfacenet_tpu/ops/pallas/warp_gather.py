@@ -1,0 +1,284 @@
+"""Pallas TPU kernel for the CVC perspective-warp gather (SURVEY.md C4/SS7).
+
+The hot spot of CVC construction is a data-dependent bilinear gather — the
+single worst-fitting op for a TPU.  This kernel restructures it TPU-natively
+(BASELINE north star: "CVC-warp kernel at speed-of-light"):
+
+  * Per (cube, view) work item, the cube's projected image footprint is a
+    small crop window; the kernel DMAs that crop from HBM into VMEM once
+    (async, per-item, via scalar-prefetched window origins) and never
+    touches the full image again.
+  * Bilinear interpolation is expressed WITHOUT gathers, as two dense
+    matmul-like contractions against "hat" weight matrices:
+
+        sample(p, c) = sum_h sum_w hatV[p,h] * hatW[p,w] * crop[h, w, c]
+
+    computed as (CWx3, CH) @ (CH, PC) on the MXU followed by a VPU
+    multiply-reduce over the crop width.  hat[p, i] = max(0, 1-|x_p - i|)
+    is nonzero only at the two neighbors, so this is exactly bilinear.
+  * Points are processed in lane-aligned chunks (PC lanes); all tensors keep
+    the point dimension in lanes, so every op is tiled natively.
+
+The XLA-path oracle is ops/cvc.py::build_cvc_batch; tests assert exact
+agreement (to f32 tolerance) in interpret mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_kernel(
+    # scalar prefetch
+    window_ref,  # (B, 2) int32: crop origin (v0, u0) per item
+    view_ref,  # (B,) int32: image index per item
+    # inputs
+    images_ref,  # (V, H, W, 3) f32, stays in HBM/ANY
+    Pm_ref,  # (1, 3, 4) f32 VMEM: projection matrix of this item
+    origin_ref,  # (1, 3) f32 VMEM: cube origin of this item
+    # outputs
+    cvc_ref,  # (1, 3, D3) f32 VMEM
+    valid_ref,  # (1, 8, D3) f32 VMEM (row 0 used; 8 rows for sublane tile)
+    # scratch
+    crop_ref,  # (CH, CW, 3) f32 VMEM
+    sem,  # DMA semaphore
+    *,
+    D: int,
+    s: float,
+    CH: int,
+    CW: int,
+    PC: int,
+    H: int,
+    W: int,
+):
+    item = pl.program_id(0)
+    v0 = window_ref[item, 0]
+    u0 = window_ref[item, 1]
+    view = view_ref[item]
+
+    # Fetch this item's crop window from HBM.
+    dma = pltpu.make_async_copy(
+        images_ref.at[view, pl.ds(v0, CH), pl.ds(u0, CW), :],
+        crop_ref,
+        sem,
+    )
+    dma.start()
+
+    Pm = Pm_ref[0]  # (3, 4)
+    origin = origin_ref[0]  # (3,)
+
+    dma.wait()
+    crop2 = crop_ref[...].reshape(CH, CW * 3)  # rows: h, cols: w*3+c
+    cropT = crop2.astype(jnp.float32).T  # (CW*3, CH)
+
+    n_chunks = (D * D * D) // PC
+
+    def chunk_body(ci, _):
+        q0 = ci * PC
+        q = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, PC), 1)  # (1, PC)
+        i = q // (D * D)
+        j = (q // D) % D
+        k = q % D
+        fx = origin[0] + s * (i.astype(jnp.float32) + 0.5)
+        fy = origin[1] + s * (j.astype(jnp.float32) + 0.5)
+        fz = origin[2] + s * (k.astype(jnp.float32) + 0.5)
+
+        num_u = Pm[0, 0] * fx + Pm[0, 1] * fy + Pm[0, 2] * fz + Pm[0, 3]
+        num_v = Pm[1, 0] * fx + Pm[1, 1] * fy + Pm[1, 2] * fz + Pm[1, 3]
+        den = Pm[2, 0] * fx + Pm[2, 1] * fy + Pm[2, 2] * fz + Pm[2, 3]
+        inv = 1.0 / (den + 1e-8)
+        u = num_u * inv  # (1, PC) global pixel coords
+        v = num_v * inv
+
+        infront = den > 0.0
+        in_img = (
+            (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
+        )
+        u_loc = u - u0.astype(jnp.float32)
+        v_loc = v - v0.astype(jnp.float32)
+        in_crop = (
+            (u_loc >= 0.0)
+            & (u_loc <= CW - 1.0)
+            & (v_loc >= 0.0)
+            & (v_loc <= CH - 1.0)
+        )
+        ok = (infront & in_img & in_crop).astype(jnp.float32)  # (1, PC)
+
+        # hat weights: (CH, PC) and (CW, PC)
+        hrow = jax.lax.broadcasted_iota(jnp.float32, (CH, PC), 0)
+        hatV = jnp.maximum(0.0, 1.0 - jnp.abs(v_loc - hrow))
+        wrow = jax.lax.broadcasted_iota(jnp.float32, (CW, PC), 0)
+        hatW = jnp.maximum(0.0, 1.0 - jnp.abs(u_loc - wrow))
+
+        # (CW*3, CH) @ (CH, PC) -> (CW*3, PC)   [MXU]
+        T = jax.lax.dot_general(
+            cropT,
+            hatV,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        T = T.reshape(CW, 3, PC)
+        sample = jnp.sum(T * hatW[:, None, :], axis=0)  # (3, PC)
+        sample = sample * ok  # zero outside
+
+        cvc_ref[0, :, pl.ds(q0, PC)] = sample
+        valid_ref[0, :, pl.ds(q0, PC)] = jnp.broadcast_to(ok, (8, PC))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _compute_windows(
+    Ps_item: jnp.ndarray,  # (B, 3, 4)
+    origins: jnp.ndarray,  # (B, 3)
+    extent_mm: float,
+    H: int,
+    W: int,
+    CH: int,
+    CW: int,
+) -> jnp.ndarray:
+    """Crop-window origins (v0, u0) per item: projected cube bbox, clamped."""
+    offs = jnp.array(
+        [
+            [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+        ],
+        jnp.float32,
+    )
+    corners = origins[:, None, :] + extent_mm * offs[None]  # (B, 8, 3)
+    ones = jnp.ones((*corners.shape[:-1], 1), jnp.float32)
+    ph = jnp.concatenate([corners, ones], -1) @ jnp.swapaxes(Ps_item, -1, -2)
+    w = ph[..., 2]
+    uv = ph[..., :2] / (w[..., None] + 1e-8)
+    big = jnp.float32(1e9)
+    u_min = jnp.min(jnp.where(w > 0, uv[..., 0], big), axis=-1)
+    v_min = jnp.min(jnp.where(w > 0, uv[..., 1], big), axis=-1)
+    u0 = jnp.clip(jnp.floor(u_min).astype(jnp.int32) - 1, 0, max(W - CW, 0))
+    v0 = jnp.clip(jnp.floor(v_min).astype(jnp.int32) - 1, 0, max(H - CH, 0))
+    return jnp.stack([v0, u0], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("D", "s", "CH", "CW", "PC", "interpret"),
+)
+def warp_gather_pallas(
+    images: jnp.ndarray,  # (V, H, W, 3) f32
+    Ps: jnp.ndarray,  # (V, 3, 4) f32
+    view_idx: jnp.ndarray,  # (B,) int32
+    origins: jnp.ndarray,  # (B, 3) f32
+    *,
+    D: int,
+    s: float,
+    CH: int = 192,
+    CW: int = 256,
+    PC: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas CVC gather for a batch of (cube, view) work items.
+
+    Returns (colors (B, D, D, D, 3) f32, valid (B, D, D, D) bool).  Voxels
+    whose projection falls outside the crop window are invalid (callers pick
+    CH/CW to cover the footprint for their geometry; see ops/cvc.py oracle
+    which has no such window).
+    """
+    V, H, W, _ = images.shape
+    B = view_idx.shape[0]
+    D3 = D * D * D
+    PC = min(PC, D3)
+    if D3 % PC:
+        raise ValueError(f"D^3={D3} must be divisible by PC={PC}")
+
+    Ps_item = Ps[view_idx]  # (B, 3, 4)
+    windows = _compute_windows(
+        Ps_item, origins, D * s, H, W, CH, CW
+    )  # (B, 2) int32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
+            pl.BlockSpec((1, 3, 4), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3), lambda i, *_: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, D3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, D3), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CH, CW, 3), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
+    )
+    cvc, valid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 3, D3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, D3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(windows, view_idx, images, Ps_item, origins)
+
+    colors = jnp.moveaxis(cvc, 1, -1).reshape(B, D, D, D, 3)
+    validb = (valid[:, 0, :] > 0.5).reshape(B, D, D, D)
+    return colors, validb
+
+
+def build_cvc_batch_pallas(
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    pair_idx: jnp.ndarray,  # (B, 2) int32
+    origins: jnp.ndarray,  # (B, 3)
+    D: int,
+    s: float,
+    center_colors: bool = True,
+    interpret: bool = False,
+    CH: int = 192,
+    CW: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ops.cvc.build_cvc_batch using the kernel.
+
+    Returns (x (B, D, D, D, 6), valid (B, D, D, D)).
+    """
+    B = pair_idx.shape[0]
+    flat_views = pair_idx.T.reshape(-1)  # [a0..aB, b0..bB]
+    flat_origins = jnp.concatenate([origins, origins], axis=0)
+    colors, valid = warp_gather_pallas(
+        images, Ps, flat_views.astype(jnp.int32), flat_origins,
+        D=D, s=s, CH=CH, CW=CW, interpret=interpret,
+    )
+    ca, cb = colors[:B], colors[B:]
+    va, vb = valid[:B], valid[B:]
+
+    if center_colors:
+
+        def center(c, v):
+            denom = jnp.maximum(
+                jnp.sum(v, axis=(1, 2, 3), keepdims=True), 1
+            ).astype(c.dtype)
+            mean = (
+                jnp.sum(c * v[..., None], axis=(1, 2, 3), keepdims=True)
+                / denom[..., None]
+            )
+            return jnp.where(v[..., None], c - mean, 0.0)
+
+        ca = center(ca, va)
+        cb = center(cb, vb)
+    else:
+        ca = jnp.where(va[..., None], ca, 0.0)
+        cb = jnp.where(vb[..., None], cb, 0.0)
+
+    return jnp.concatenate([ca, cb], axis=-1), va & vb
