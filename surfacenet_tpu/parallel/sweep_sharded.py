@@ -1,0 +1,223 @@
+"""Mesh-sharded scene sweep (SURVEY.md SS7 step 8, BASELINE configs 3-4).
+
+Parallel structure over a (block, cube) mesh:
+
+  * ``block`` axis: the scene's cube lattice is partitioned into contiguous
+    slabs along its longest axis; each block shard owns its cubes' work
+    items and its slice of the restartable ledger.  This is the spatial
+    (context-parallel) axis — on a multi-host slice each host owns blocks,
+    so result accumulation and ledger IO are host-local, and only the small
+    boundary-overlap records cross hosts at merge time.
+  * ``cube`` axis: data parallel over cube work items within a block.
+
+Each round runs ONE jitted device program (pipeline.sweep.cube_batch_step)
+on a global batch sharded over both mesh axes; the host then scatters
+results into per-block sparse stores.  Per-round scaling metrics
+(cubes/s, per-block occupancy) feed the BASELINE scaling-efficiency report.
+
+Multi-host: call jax.distributed.initialize() before building the mesh; the
+same code path then runs with each process feeding its addressable shards
+(jax.make_array_from_process_local_data).  Single-process multi-device
+(including the CPU-emulated 8-device test mesh) uses device_put directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenet_tpu.config import Config
+from surfacenet_tpu.parallel.mesh import cube_sharded, make_mesh, replicated
+from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
+from surfacenet_tpu.pipeline.sweep import (
+    Predictor,
+    SweepStats,
+    cube_batch_step,
+    enumerate_cubes,
+    prefilter_cubes,
+)
+
+
+def partition_cubes(grid: np.ndarray, n_block: int) -> List[np.ndarray]:
+    """Split cube grid indices into n_block contiguous slabs.
+
+    Slabs are cut along the axis with the largest extent so blocks are as
+    chunky as possible (minimizes boundary surface / halo volume).
+    Returns a list of index arrays into ``grid``.
+    """
+    if len(grid) == 0:
+        return [np.zeros((0,), int) for _ in range(n_block)]
+    extents = grid.max(axis=0) - grid.min(axis=0) + 1
+    axis = int(np.argmax(extents))
+    order = np.argsort(grid[:, axis], kind="stable")
+    return [np.array_split(order, n_block)[b] for b in range(n_block)]
+
+
+@dataclasses.dataclass
+class ShardedSweepStats(SweepStats):
+    n_rounds: int = 0
+    wall_s: float = 0.0
+    cubes_per_s: float = 0.0
+    per_block_cubes: Optional[List[int]] = None
+
+
+def run_sweep_sharded(
+    images: np.ndarray,
+    Ps: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    cfg: Config,
+    predictor: Predictor,
+    mesh=None,
+    pair_selector: Optional[Callable] = None,
+    ledger_dir: Optional[str] = None,
+) -> Tuple[SparseCubeStore, ShardedSweepStats]:
+    """Sharded sweep over the mesh; returns a merged store + scaling stats."""
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_block, n_cube = mesh.devices.shape
+    per_round = cfg.sweep.cube_batch * n_block * n_cube
+
+    stats = ShardedSweepStats()
+    D = cfg.voxel.cube_size
+    s = cfg.voxel.voxel_size_mm
+    hw = images.shape[1:3]
+
+    grid, origins = enumerate_cubes(
+        np.asarray(bbox_min, np.float64), np.asarray(bbox_max, np.float64),
+        cfg,
+    )
+    stats.n_cubes_total = len(origins)
+    keep = prefilter_cubes(Ps, origins, hw, cfg)
+    grid, origins = grid[keep], origins[keep]
+    stats.n_cubes_after_prefilter = len(origins)
+
+    # block-partition the surviving cubes
+    blocks = partition_cubes(grid, n_block)
+    stats.per_block_cubes = [len(b) for b in blocks]
+
+    # per-block stores share one scene frame; block ledgers are separate
+    # files so each (future) host owns its slice of restart state.
+    stores = []
+    todo_blocks = []
+    for b, idxs in enumerate(blocks):
+        ledger = f"{ledger_dir}/block_{b}.jsonl" if ledger_dir else None
+        st = SparseCubeStore(
+            scene_origin=np.asarray(bbox_min, np.float64),
+            voxel_size_mm=s,
+            cube_size=D,
+            stride=cfg.voxel.stride,
+            ledger_path=ledger,
+        )
+        stores.append(st)
+        done = st.done_set()
+        mask = np.array([tuple(g) not in done for g in grid[idxs]], bool)
+        todo_blocks.append(idxs[mask] if len(idxs) else idxs)
+
+    if pair_selector is None:
+        pair_selector = functools.partial(
+            select_pairs_geometric, n_pairs=cfg.fusion.n_view_pairs,
+            image_hw=hw, extent_mm=cfg.voxel.cube_extent_mm,
+        )
+
+    images_d = jax.device_put(
+        jnp.asarray(images, jnp.float32), replicated(mesh)
+    )
+    Ps_d = jax.device_put(jnp.asarray(Ps, jnp.float32), replicated(mesh))
+    shard = cube_sharded(mesh)
+
+    # round-robin: each round takes cube_batch*n_cube items from each block
+    cursors = [0] * n_block
+    per_block_round = cfg.sweep.cube_batch * n_cube
+
+    t0 = time.perf_counter()
+    n_processed = 0
+    while any(
+        cursors[b] < len(todo_blocks[b]) for b in range(n_block)
+    ):
+        # any real cube serves as padding filler (padded results discarded)
+        filler = next(
+            int(t[0]) for t in todo_blocks if len(t)
+        )
+        round_items = []
+        valid_counts = []
+        for b in range(n_block):
+            sel = todo_blocks[b][
+                cursors[b] : cursors[b] + per_block_round
+            ]
+            cursors[b] += per_block_round
+            valid_counts.append(len(sel))
+            n_pad = per_block_round - len(sel)
+            if n_pad:
+                pad_val = int(sel[0]) if len(sel) else filler
+                sel = np.concatenate(
+                    [sel, np.full((n_pad,), pad_val, int)]
+                )
+            round_items.append(sel)
+
+        flat = np.concatenate(round_items)  # (per_round,)
+        r_grid = grid[flat]
+        r_origins = origins[flat].astype(np.float32)
+        pair_idx, pair_w = pair_selector(Ps, r_origins)
+
+        occ, fused, color = cube_batch_step(
+            images_d,
+            Ps_d,
+            jax.device_put(jnp.asarray(r_origins), shard),
+            jax.device_put(jnp.asarray(pair_idx, jnp.int32), shard),
+            jax.device_put(jnp.asarray(pair_w, jnp.float32), shard),
+            D=D,
+            s=s,
+            n_pairs=cfg.fusion.n_view_pairs,
+            tau=cfg.fusion.tau,
+            gamma=cfg.fusion.gamma,
+            adaptive=cfg.fusion.adaptive_threshold,
+            center_colors=cfg.voxel.center_colors,
+            predict=predictor,
+        )
+        occ = np.asarray(occ)
+        fused = np.asarray(fused)
+        color = np.asarray(color)
+        stats.n_batches += 1
+        stats.n_rounds += 1
+
+        for b in range(n_block):
+            base = b * per_block_round
+            for i in range(valid_counts[b]):
+                gi = tuple(r_grid[base + i])
+                if occ[base + i].any():
+                    stats.n_cubes_nonempty += 1
+                stores[b].add(
+                    CubeResult(
+                        gi, occ[base + i], fused[base + i], color[base + i]
+                    )
+                )
+                n_processed += 1
+
+    stats.wall_s = time.perf_counter() - t0
+    stats.cubes_per_s = (
+        n_processed / stats.wall_s if stats.wall_s > 0 else 0.0
+    )
+
+    # merge blocks: block stores share the scene frame, so their cube
+    # records concatenate into one global store (boundary-overlap voxels get
+    # votes from both owning blocks' cubes).
+    merged = SparseCubeStore(
+        scene_origin=np.asarray(bbox_min, np.float64),
+        voxel_size_mm=s,
+        cube_size=D,
+        stride=cfg.voxel.stride,
+    )
+    for st in stores:
+        for g, res in st._cubes.items():
+            merged.add(res)
+        merged._done |= st.done_set()
+    return merged, stats

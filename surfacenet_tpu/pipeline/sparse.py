@@ -55,6 +55,7 @@ class SparseCubeStore:
         self.D = int(cube_size)
         self.stride = int(stride)
         self._cubes: Dict[Tuple[int, int, int], CubeResult] = {}
+        self._done: set = set()
         self.ledger_path = ledger_path
         if ledger_path and os.path.exists(ledger_path):
             self._load_ledger()
@@ -71,9 +72,7 @@ class SparseCubeStore:
         self._log_done(result.grid_idx, empty=False, result=result)
 
     def done_set(self) -> set:
-        return set(self._done) if hasattr(self, "_done") else set(
-            self._cubes.keys()
-        )
+        return set(self._done)
 
     def __len__(self) -> int:
         return len(self._cubes)
@@ -81,8 +80,6 @@ class SparseCubeStore:
     # ------------------------------------------------------------- ledger
 
     def _log_done(self, gidx, empty: bool, result: CubeResult = None) -> None:
-        if not hasattr(self, "_done"):
-            self._done = set()
         self._done.add(tuple(gidx))
         if not self.ledger_path:
             return
@@ -105,7 +102,6 @@ class SparseCubeStore:
 
     def _load_ledger(self) -> None:
         """Resume: re-hydrate completed cubes from the ledger."""
-        self._done = set()
         with open(self.ledger_path) as f:
             for line in f:
                 line = line.strip()
