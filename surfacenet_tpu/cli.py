@@ -1,0 +1,204 @@
+"""Command-line entry points (the reference's `main.py` / `train.py` role).
+
+    python -m surfacenet_tpu.cli reconstruct --scan DIR --out out.ply ...
+    python -m surfacenet_tpu.cli train --scan DIR --steps N ...
+    python -m surfacenet_tpu.cli selftest          # synthetic golden run
+    python -m surfacenet_tpu.cli bench             # cubes/s on this chip
+
+Config handling: --config loads a JSON config tree; --preset picks one of
+the 5 BASELINE operating points (config.baseline_config); individual
+--set voxel.cube_size=64 overrides follow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _apply_overrides(cfg, sets):
+    for item in sets or []:
+        path, _, raw = item.partition("=")
+        keys = path.split(".")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        node = cfg
+        parents = []
+        for k in keys[:-1]:
+            parents.append((node, k))
+            node = getattr(node, k)
+        node = dataclasses.replace(node, **{keys[-1]: val})
+        for parent, k in reversed(parents):
+            node = dataclasses.replace(parent, **{k: node})
+        cfg = node
+    return cfg
+
+
+def _load_config(args):
+    from surfacenet_tpu.config import Config, baseline_config
+
+    if getattr(args, "preset", None):
+        cfg = baseline_config(args.preset)
+    elif getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = Config()
+    return _apply_overrides(cfg, getattr(args, "set", None))
+
+
+def cmd_reconstruct(args):
+    import jax
+
+    from surfacenet_tpu.data.dtu import load_scan
+    from surfacenet_tpu.pipeline.sweep import (
+        photoconsistency_predictor,
+        run_sweep,
+    )
+
+    cfg = _load_config(args)
+    scan = load_scan(args.scan, downsample=args.downsample)
+    if scan.bbox_min is None:
+        raise SystemExit(
+            "scan has no bbox.txt; pass one or add it to the scan dir"
+        )
+
+    if args.checkpoint:
+        from surfacenet_tpu.models.surfacenet import SurfaceNet
+        from surfacenet_tpu.train.train_surface import restore_checkpoint
+
+        state, step = restore_checkpoint(args.checkpoint, cfg)
+        model = SurfaceNet(cfg.model)
+
+        def predictor(x, origins):
+            return model.apply(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                },
+                x,
+                train=False,
+            )
+
+        print(f"using checkpoint step {step}")
+    else:
+        predictor = photoconsistency_predictor
+        print("no checkpoint: using photoconsistency predictor")
+
+    store, stats = run_sweep(
+        scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+        predictor, ledger_path=args.ledger,
+    )
+    n = store.export_ply(args.out)
+    print(
+        f"wrote {n} points to {args.out}; "
+        f"{stats.n_cubes_nonempty}/{stats.n_cubes_after_prefilter} cubes "
+        f"non-empty"
+    )
+
+
+def cmd_train(args):
+    import jax
+
+    from surfacenet_tpu.data.dtu import load_scan
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.train.train_surface import train_surfacenet
+
+    cfg = _load_config(args)
+    if args.scan:
+        # DTU training needs GT point clouds; wire the scan-backed sampler
+        # here when GT data is present.
+        raise SystemExit(
+            "DTU-scan training requires GT points; only synthetic training "
+            "is wired in this build (use --synthetic)"
+        )
+    scene = make_sphere_scene(n_views=8, hw=(240, 320))
+    state, log = train_surfacenet(
+        scene, cfg, n_steps=args.steps,
+        checkpoint_dir=args.checkpoint_dir, log_every=args.log_every,
+    )
+    print(
+        f"trained {args.steps} steps; loss {log.losses[0]:.4f} -> "
+        f"{log.losses[-1]:.4f}"
+    )
+
+
+def cmd_selftest(args):
+    from surfacenet_tpu.config import Config, FusionConfig, SweepConfig, VoxelConfig
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.pipeline.sweep import (
+        photoconsistency_predictor,
+        run_sweep,
+    )
+    from surfacenet_tpu.utils.metrics import accuracy_completeness
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        fusion=FusionConfig(n_view_pairs=3, tau=0.25, gamma=0.6),
+        sweep=SweepConfig(cube_batch=8),
+    )
+    scene = make_sphere_scene(n_views=8, hw=(120, 160))
+    store, stats = run_sweep(
+        scene.images, scene.Ps, scene.bbox_min, scene.bbox_max, cfg,
+        photoconsistency_predictor,
+    )
+    pts, _, _ = store.merge()
+    acc, comp = accuracy_completeness(pts, scene.surface_points(4000))
+    print(
+        f"selftest: {len(pts)} points, accuracy {acc:.2f}mm, "
+        f"completeness {comp:.2f}mm "
+        f"({stats.n_cubes_nonempty}/{stats.n_cubes_after_prefilter} cubes)"
+    )
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="surfacenet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("reconstruct", help="sweep a scan -> .ply")
+    pr.add_argument("--scan", required=True)
+    pr.add_argument("--out", default="out.ply")
+    pr.add_argument("--checkpoint")
+    pr.add_argument("--ledger")
+    pr.add_argument("--downsample", type=int, default=1)
+    pr.add_argument("--preset")
+    pr.add_argument("--config")
+    pr.add_argument("--set", action="append")
+    pr.set_defaults(fn=cmd_reconstruct)
+
+    pt = sub.add_parser("train", help="train SurfaceNet")
+    pt.add_argument("--scan")
+    pt.add_argument("--synthetic", action="store_true")
+    pt.add_argument("--steps", type=int, default=1000)
+    pt.add_argument("--checkpoint-dir", default="checkpoints")
+    pt.add_argument("--log-every", type=int, default=50)
+    pt.add_argument("--preset")
+    pt.add_argument("--config")
+    pt.add_argument("--set", action="append")
+    pt.set_defaults(fn=cmd_train)
+
+    ps = sub.add_parser("selftest", help="synthetic golden-scene run")
+    ps.set_defaults(fn=cmd_selftest)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,22 @@ def build_cvc(
     return colors.reshape(D, D, D, C), valid.reshape(D, D, D)
 
 
+def center_cvc(colors: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the mean color over valid voxels; zero invalid voxels.
+
+    Args:
+      colors: (..., D, D, D, C); valid: (..., D, D, D).
+    """
+    v = valid[..., None]
+    denom = jnp.maximum(
+        jnp.sum(v, axis=(-4, -3, -2), keepdims=True), 1
+    ).astype(colors.dtype)
+    mean = jnp.sum(
+        jnp.where(v, colors, 0.0), axis=(-4, -3, -2), keepdims=True
+    ) / denom
+    return jnp.where(v, colors - mean, 0.0)
+
+
 def build_cvc_pair(
     image_a: jnp.ndarray,
     image_b: jnp.ndarray,
@@ -130,6 +146,33 @@ def build_cvc_pair(
     cvc_a, va = build_cvc(image_a, P_a, origin, D, s, center_colors)
     cvc_b, vb = build_cvc(image_b, P_b, origin, D, s, center_colors)
     return jnp.concatenate([cvc_a, cvc_b], axis=-1), va & vb
+
+
+def build_cvc_views(
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    origins: jnp.ndarray,
+    D: int,
+    s: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uncentered single-view CVCs for (cube, view) work items.
+
+    Same contract as the Pallas kernel (ops/pallas/warp_gather.py
+    ``warp_gather_pallas``) — this is its XLA-path oracle.
+
+    Args:
+      view_idx: (B,) int32; origins: (B, 3).
+    Returns:
+      colors: (B, D, D, D, 3); valid: (B, D, D, D).
+    """
+
+    def one(vi, origin):
+        return build_cvc(
+            images[vi], Ps[vi], origin, D, s, center_colors=False
+        )
+
+    return jax.vmap(one)(view_idx, origins)
 
 
 def build_cvc_batch(

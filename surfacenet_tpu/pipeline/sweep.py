@@ -26,7 +26,6 @@ import numpy as np
 
 from surfacenet_tpu.config import Config
 from surfacenet_tpu.geometry.camera import cube_visible
-from surfacenet_tpu.ops.cvc import build_cvc, build_cvc_batch
 from surfacenet_tpu.ops.fusion import adaptive_threshold, fuse_pairs
 from surfacenet_tpu.ops.ray_pooling import ray_pool
 from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
@@ -125,7 +124,7 @@ def prefilter_cubes(
     jax.jit,
     static_argnames=(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
-        "predict",
+        "predict", "use_pallas", "n_pool_views",
     ),
 )
 def cube_batch_step(
@@ -143,21 +142,52 @@ def cube_batch_step(
     adaptive: bool,
     center_colors: bool,
     predict: Predictor,
+    use_pallas: bool = False,
+    n_pool_views: int = 6,
 ):
     """One fused device program over a fixed-size batch of cubes.
+
+    The warp gather runs ONCE per (cube, pair, view): raw (uncentered) CVCs
+    feed both the voxel-color output and (after mean-centering) the model —
+    no second gather for colors.  ``use_pallas`` switches the gather between
+    the XLA oracle (ops/cvc.py) and the Pallas kernel
+    (ops/pallas/warp_gather.py).
 
     Returns (occupancy (Nc,D,D,D) bool, fused (Nc,D,D,D) f32,
              color (Nc,D,D,D,3) f32).
     """
+    from surfacenet_tpu.ops.cvc import build_cvc_views, center_cvc
+    from surfacenet_tpu.ops.pallas.warp_gather import warp_gather_pallas
+
     Nc = origins.shape[0]
-    flat_pairs = pair_idx.reshape(Nc * n_pairs, 2)
+    NB = Nc * n_pairs
+    flat_pairs = pair_idx.reshape(NB, 2)
     flat_origins = jnp.repeat(origins, n_pairs, axis=0)
 
-    x, valid = build_cvc_batch(
-        images, Ps, flat_pairs, flat_origins, D, s, center_colors
-    )  # (Nc*Np, D,D,D, 6), (Nc*Np, D,D,D)
+    # one gather for all (cube, pair, view-half) items: [a-halves, b-halves]
+    all_views = flat_pairs.T.reshape(-1)  # (2*NB,)
+    all_origins = jnp.concatenate([flat_origins, flat_origins], axis=0)
+    if use_pallas:
+        colors, valids = warp_gather_pallas(
+            images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s
+        )
+    else:
+        colors, valids = build_cvc_views(
+            images, Ps, all_views, all_origins, D, s
+        )
+    ca, cb = colors[:NB], colors[NB:]
+    va, vb = valids[:NB], valids[NB:]
 
-    probs = predict(x, flat_origins)  # (Nc*Np, D, D, D)
+    if center_colors:
+        xa = center_cvc(ca, va)
+        xb = center_cvc(cb, vb)
+    else:
+        xa = jnp.where(va[..., None], ca, 0.0)
+        xb = jnp.where(vb[..., None], cb, 0.0)
+    x = jnp.concatenate([xa, xb], axis=-1)  # (NB, D,D,D, 6)
+    valid = va & vb
+
+    probs = predict(x, flat_origins)  # (NB, D, D, D)
     probs = probs.reshape(Nc, n_pairs, D, D, D)
     valid = valid.reshape(Nc, n_pairs, D, D, D)
 
@@ -170,34 +200,39 @@ def cube_batch_step(
     else:
         taus = jnp.full((Nc,), tau, jnp.float32)
 
-    # pooling views: the distinct views of this cube's selected pairs
-    pool_views = pair_idx.reshape(Nc, n_pairs * 2)
+    # pooling views: deduplicated views of this cube's selected pairs
+    # (static shape: unique with padding; duplicates would only repeat an
+    # identical vote on both sides of the gamma threshold)
+    pv_all = pair_idx.reshape(Nc, n_pairs * 2)
+    K = min(n_pool_views, n_pairs * 2)
+    pool_views = jax.vmap(
+        lambda pv: jnp.unique(pv, size=K, fill_value=pv[0])
+    )(pv_all)
 
     def _pool_one(fp, o, pv, t):
-        Pv = Ps[pv]  # (2*Np, 3, 4)
+        Pv = Ps[pv]  # (K, 3, 4)
         occ, _ = ray_pool(fp, o, s, Pv, t, gamma)
         return occ
 
     occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
 
-    # Color: average the two un-centered CVCs of the strongest pair.
+    # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
+    ca_b = ca.reshape(Nc, n_pairs, D, D, D, 3)
+    cb_b = cb.reshape(Nc, n_pairs, D, D, D, 3)
+    va_b = va.reshape(Nc, n_pairs, D, D, D)
+    vb_b = vb.reshape(Nc, n_pairs, D, D, D)
 
-    def _color_one(o, pi):
-        ca, va = build_cvc(
-            images[pi[0]], Ps[pi[0]], o, D, s, center_colors=False
-        )
-        cb, vb = build_cvc(
-            images[pi[1]], Ps[pi[1]], o, D, s, center_colors=False
-        )
-        wsum = va.astype(jnp.float32) + vb.astype(jnp.float32)
-        return (ca + cb) / jnp.maximum(wsum, 1.0)[..., None]
+    def _color_one(cab, cbb, vab, vbb, b):
+        c1 = cab[b]
+        c2 = cbb[b]
+        w1 = vab[b].astype(jnp.float32)
+        w2 = vbb[b].astype(jnp.float32)
+        return (c1 * w1[..., None] + c2 * w2[..., None]) / jnp.maximum(
+            w1 + w2, 1.0
+        )[..., None]
 
-    color = jax.vmap(_color_one)(
-        origins, jnp.take_along_axis(
-            pair_idx, best[:, None, None], axis=1
-        )[:, 0]
-    )
+    color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
     return occ, fused, color
 
 

@@ -1,0 +1,53 @@
+"""CLI smoke tests (CPU)."""
+
+import numpy as np
+import pytest
+
+from surfacenet_tpu.cli import _apply_overrides, _load_config, main
+from surfacenet_tpu.config import Config
+
+
+def test_apply_overrides():
+    cfg = Config()
+    cfg2 = _apply_overrides(
+        cfg, ["voxel.cube_size=64", "fusion.tau=0.5", "model.dtype=float32"]
+    )
+    assert cfg2.voxel.cube_size == 64
+    assert cfg2.fusion.tau == 0.5
+    assert cfg2.model.dtype == "float32"
+    # untouched fields preserved
+    assert cfg2.voxel.overlap == cfg.voxel.overlap
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = Config()
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    cfg2 = Config.from_json(p.read_text())
+    assert cfg2 == cfg
+
+
+def test_reconstruct_cli(tmp_path, small_scene):
+    from surfacenet_tpu.data.dtu import write_scan
+
+    scan_dir = str(tmp_path / "scan")
+    write_scan(
+        scan_dir, small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+    )
+    out = str(tmp_path / "out.ply")
+    main(
+        [
+            "reconstruct", "--scan", scan_dir, "--out", out,
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    from surfacenet_tpu.utils.ply import read_ply
+
+    pts, colors = read_ply(out)
+    assert len(pts) > 50

@@ -1,0 +1,44 @@
+"""Observability utils tests."""
+
+import json
+
+from surfacenet_tpu.config import ModelConfig
+from surfacenet_tpu.utils.observability import (
+    FlopModel,
+    Metrics,
+    scaling_efficiency,
+)
+
+
+def test_flop_model_counts():
+    fm = FlopModel(ModelConfig(), D=32)
+    fl = fm.conv_stack_flops()
+    # block1: 3 convs at 32^3: 2*27*(6*32+32*32+32*32)*32768
+    b1 = 2 * 27 * (6 * 32 + 32 * 32 + 32 * 32) * 32**3
+    assert fl > b1
+    assert fm.side_flops() > 0
+    # utilization monotone in throughput
+    assert fm.utilization(200.0) > fm.utilization(100.0)
+
+
+def test_metrics_counters_and_timer(tmp_path):
+    m = Metrics(path=str(tmp_path / "metrics.jsonl"))
+    m.count("cubes", 5)
+    m.count("cubes", 3)
+    m.gauge("occupancy", 0.12)
+    with m.timer("stage"):
+        pass
+    snap = m.snapshot()
+    assert snap["cubes"] == 8
+    assert snap["occupancy"] == 0.12
+    assert snap["stage_n"] == 1
+    m.flush(extra={"round": 1})
+    rec = json.loads(open(tmp_path / "metrics.jsonl").read().strip())
+    assert rec["cubes"] == 8 and rec["round"] == 1
+
+
+def test_scaling_efficiency():
+    eff = scaling_efficiency({1: 100.0, 2: 180.0, 4: 320.0})
+    assert abs(eff[1] - 1.0) < 1e-9
+    assert abs(eff[2] - 0.9) < 1e-9
+    assert abs(eff[4] - 0.8) < 1e-9
