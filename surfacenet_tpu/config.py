@@ -93,6 +93,11 @@ class FusionConfig:
     gamma: float = 0.8  # ray-pooling retention fraction
     adaptive_threshold: bool = False  # per-region tuned tau (baseline config 2)
     adaptive_gamma_range: Tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9)
+    # ray pooling implementation: "exact" (pixel-ray scatter-max raster) or
+    # "affine" (sheared-slab approximation; ~100x cheaper on TPU, error
+    # O(cube_extent / camera_distance) in ray assignment).
+    ray_pool_mode: str = "exact"
+    n_pool_views: int = 6  # deduped views used for the thinning vote
 
 
 @dataclasses.dataclass(frozen=True)

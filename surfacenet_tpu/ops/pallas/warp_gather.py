@@ -36,13 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _warp_kernel(
-    # scalar prefetch
+    # scalar prefetch (SMEM)
     window_ref,  # (B, 2) int32: crop origin (v0, u0) per item
     view_ref,  # (B,) int32: image index per item
+    Pm_ref,  # (B, 12) f32: row-major 3x4 projection matrix per item
+    origin_ref,  # (B, 3) f32: cube origin per item
     # inputs
-    images_ref,  # (V, H, W, 3) f32, stays in HBM/ANY
-    Pm_ref,  # (1, 3, 4) f32 VMEM: projection matrix of this item
-    origin_ref,  # (1, 3) f32 VMEM: cube origin of this item
+    images_ref,  # (V, 3, H, W) f32 PLANAR layout, stays in HBM/ANY
     # outputs
     cvc_ref,  # (1, 3, D3) f32 VMEM
     valid_ref,  # (1, 8, D3) f32 VMEM (row 0 used; 8 rows for sublane tile)
@@ -63,20 +63,21 @@ def _warp_kernel(
     u0 = window_ref[item, 1]
     view = view_ref[item]
 
-    # Fetch this item's crop window from HBM.
+    # Fetch this item's crop window from HBM (planar: 3 channel planes).
     dma = pltpu.make_async_copy(
-        images_ref.at[view, pl.ds(v0, CH), pl.ds(u0, CW), :],
+        images_ref.at[view, :, pl.ds(v0, CH), pl.ds(u0, CW)],
         crop_ref,
         sem,
     )
     dma.start()
 
-    Pm = Pm_ref[0]  # (3, 4)
-    origin = origin_ref[0]  # (3,)
+    # 3x4 projection matrix + cube origin as SMEM scalars
+    Pm = [
+        [Pm_ref[item, r * 4 + c] for c in range(4)] for r in range(3)
+    ]
+    origin = [origin_ref[item, a] for a in range(3)]
 
     dma.wait()
-    crop2 = crop_ref[...].reshape(CH, CW * 3)  # rows: h, cols: w*3+c
-    cropT = crop2.astype(jnp.float32).T  # (CW*3, CH)
 
     n_chunks = (D * D * D) // PC
 
@@ -90,9 +91,9 @@ def _warp_kernel(
         fy = origin[1] + s * (j.astype(jnp.float32) + 0.5)
         fz = origin[2] + s * (k.astype(jnp.float32) + 0.5)
 
-        num_u = Pm[0, 0] * fx + Pm[0, 1] * fy + Pm[0, 2] * fz + Pm[0, 3]
-        num_v = Pm[1, 0] * fx + Pm[1, 1] * fy + Pm[1, 2] * fz + Pm[1, 3]
-        den = Pm[2, 0] * fx + Pm[2, 1] * fy + Pm[2, 2] * fz + Pm[2, 3]
+        num_u = Pm[0][0] * fx + Pm[0][1] * fy + Pm[0][2] * fz + Pm[0][3]
+        num_v = Pm[1][0] * fx + Pm[1][1] * fy + Pm[1][2] * fz + Pm[1][3]
+        den = Pm[2][0] * fx + Pm[2][1] * fy + Pm[2][2] * fz + Pm[2][3]
         inv = 1.0 / (den + 1e-8)
         u = num_u * inv  # (1, PC) global pixel coords
         v = num_v * inv
@@ -111,24 +112,29 @@ def _warp_kernel(
         )
         ok = (infront & in_img & in_crop).astype(jnp.float32)  # (1, PC)
 
-        # hat weights: (CH, PC) and (CW, PC)
-        hrow = jax.lax.broadcasted_iota(jnp.float32, (CH, PC), 0)
+        # hat weights: (CH, PC) and (CW, PC).  iota must be integer on TPU.
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (CH, PC), 0).astype(
+            jnp.float32
+        )
         hatV = jnp.maximum(0.0, 1.0 - jnp.abs(v_loc - hrow))
-        wrow = jax.lax.broadcasted_iota(jnp.float32, (CW, PC), 0)
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (CW, PC), 0).astype(
+            jnp.float32
+        )
         hatW = jnp.maximum(0.0, 1.0 - jnp.abs(u_loc - wrow))
 
-        # (CW*3, CH) @ (CH, PC) -> (CW*3, PC)   [MXU]
-        T = jax.lax.dot_general(
-            cropT,
-            hatV,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        T = T.reshape(CW, 3, PC)
-        sample = jnp.sum(T * hatW[:, None, :], axis=0)  # (3, PC)
-        sample = sample * ok  # zero outside
-
-        cvc_ref[0, :, pl.ds(q0, PC)] = sample
+        # per channel: (CH, CW) x (CH, PC) -> (CW, PC) on the MXU
+        # (contraction over CH = rows of both operands), then a VPU
+        # multiply-reduce over CW against hatW.
+        for c in range(3):
+            plane = crop_ref[c]  # (CH, CW)
+            T = jax.lax.dot_general(
+                plane,
+                hatV,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CW, PC)
+            val = jnp.sum(T * hatW, axis=0, keepdims=True)  # (1, PC)
+            cvc_ref[0, pl.ds(c, 1), pl.ds(q0, PC)] = val * ok
         valid_ref[0, :, pl.ds(q0, PC)] = jnp.broadcast_to(ok, (8, PC))
         return 0
 
@@ -170,7 +176,7 @@ def _compute_windows(
     static_argnames=("D", "s", "CH", "CW", "PC", "interpret"),
 )
 def warp_gather_pallas(
-    images: jnp.ndarray,  # (V, H, W, 3) f32
+    images: jnp.ndarray,  # (V, H, W, 3) f32 (transposed to planar inside)
     Ps: jnp.ndarray,  # (V, 3, 4) f32
     view_idx: jnp.ndarray,  # (B,) int32
     origins: jnp.ndarray,  # (B, 3) f32
@@ -190,6 +196,7 @@ def warp_gather_pallas(
     which has no such window).
     """
     V, H, W, _ = images.shape
+    images_planar = jnp.moveaxis(images, -1, 1)  # (V, 3, H, W)
     B = view_idx.shape[0]
     D3 = D * D * D
     PC = min(PC, D3)
@@ -202,19 +209,17 @@ def warp_gather_pallas(
     )  # (B, 2) int32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
-            pl.BlockSpec((1, 3, 4), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 3), lambda i, *_: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, D3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 8, D3), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CH, CW, 3), jnp.float32),
+            pltpu.VMEM((3, CH, CW), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -230,7 +235,13 @@ def warp_gather_pallas(
             jax.ShapeDtypeStruct((B, 8, D3), jnp.float32),
         ],
         interpret=interpret,
-    )(windows, view_idx, images, Ps_item, origins)
+    )(
+        windows,
+        view_idx,
+        Ps_item.reshape(B, 12).astype(jnp.float32),
+        origins.astype(jnp.float32),
+        images_planar,
+    )
 
     colors = jnp.moveaxis(cvc, 1, -1).reshape(B, D, D, D, 3)
     validb = (valid[:, 0, :] > 0.5).reshape(B, D, D, D)

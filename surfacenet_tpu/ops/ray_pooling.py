@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from surfacenet_tpu.geometry.camera import project, voxel_centers
 
@@ -101,6 +102,106 @@ def ray_max_mask_single_view(
     return is_max.reshape(D, D, D)
 
 
+def _projection_jacobian(P: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """d(u,v)/d(world xyz) of the perspective projection at point x. (2,3)."""
+    xh = jnp.concatenate([x, jnp.ones((1,), x.dtype)])
+    num = P[:2] @ xh  # (2,)
+    den = P[2] @ xh  # ()
+    return (P[:2, :3] * den - num[:, None] * P[2, :3][None]) / (den * den)
+
+
+def _shift2d(slab: jnp.ndarray, oi: jnp.ndarray, oj: jnp.ndarray, fill):
+    """Shift a (D, D) slab by integer offsets, filling with `fill`.
+
+    Entry [i, j] of the result is slab[i - oi, j - oj] (out of range -> fill).
+    Implemented as pad + dynamic_slice: dense, no gathers.
+    """
+    D = slab.shape[0]
+    padded = jnp.full((3 * D, 3 * D), fill, slab.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, slab, (D, D))
+    return jax.lax.dynamic_slice(padded, (D - oi, D - oj), (D, D))
+
+
+def ray_max_mask_affine(
+    prob: jnp.ndarray,
+    origin: jnp.ndarray,
+    s: float,
+    P: jnp.ndarray,
+) -> jnp.ndarray:
+    """Affine-approximation ray-max mask: no scatters, no gathers.
+
+    Within a cube whose extent is small relative to the camera distance,
+    the perspective map is near-affine; viewing rays are then straight lines
+    in voxel space with direction n = null(d(uv)/dxyz).  Grouping voxels
+    into rays becomes a SHEARED COLUMN MAX along the dominant axis of n:
+    slab t is shifted by round(n_perp/n_axis * t) and max-reduced — D dense
+    (D, D) shifts + maxes on the VPU, instead of a 32k-element scatter-max
+    per view.  Ray raster is voxel-matched by construction.
+
+    Error sources vs the exact rule (ray_max_mask_single_view): perspective
+    curvature O(cube_extent/distance) and +-0.5 voxel shear rounding —
+    acceptable for thinning (the gamma vote absorbs ray misassignment);
+    mode-selectable via FusionConfig.ray_pool_mode.
+    """
+    D = prob.shape[0]
+    center = origin.astype(jnp.float32) + 0.5 * D * s
+    A = _projection_jacobian(P, center)  # (2, 3) d(uv)/dxyz
+    n = jnp.cross(A[0], A[1])  # ray direction in world = voxel space (iso s)
+
+    # dominant axis: static 3-way branch keeps everything dense
+    a = jnp.argmax(jnp.abs(n))
+
+    def pooled(perm):
+        # permute prob so the dominant axis is LAST; offsets for the two
+        # leading axes come from the matching components of n.
+        p = jnp.transpose(prob, perm)
+        na = n[perm[2]]
+        n0 = n[perm[0]]
+        n1 = n[perm[1]]
+        safe = jnp.where(jnp.abs(na) < 1e-12, 1e-12, na)
+        sl0 = n0 / safe
+        sl1 = n1 / safe
+
+        ts = jnp.arange(D) - D // 2
+
+        def offs(t):
+            return (
+                jnp.round(sl0 * t).astype(jnp.int32),
+                jnp.round(sl1 * t).astype(jnp.int32),
+            )
+
+        # 1) sheared accumulation: M[p, q] = max_t p[t-slab shifted]
+        def acc(t, M):
+            oi, oj = offs(ts[t])
+            return jnp.maximum(M, _shift2d(p[:, :, t], oi, oj, NEG))
+
+        M = jax.lax.fori_loop(
+            0, D, acc, jnp.full((D, D), NEG, prob.dtype)
+        )
+
+        # 2) broadcast back: ray_max for slab t = M shifted by -offs(t)
+        def back(t, out):
+            oi, oj = offs(ts[t])
+            rm = _shift2d(M, -oi, -oj, NEG)
+            return out.at[:, :, t].set(rm)
+
+        ray_max = jax.lax.fori_loop(
+            0, D, back, jnp.zeros_like(p)
+        )
+        is_max = p >= ray_max - 1e-6
+        inv = np.argsort(perm)
+        return jnp.transpose(is_max, tuple(inv))
+
+    return jax.lax.switch(
+        a,
+        [
+            lambda: pooled((1, 2, 0)),
+            lambda: pooled((0, 2, 1)),
+            lambda: pooled((0, 1, 2)),
+        ],
+    )
+
+
 def ray_pool(
     prob: jnp.ndarray,
     origin: jnp.ndarray,
@@ -110,8 +211,10 @@ def ray_pool(
     gamma: float,
     raster_size: int = 128,
     auto_scale: bool = True,
+    mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full thinning for one cube.
+    """Full thinning for one cube.  mode: "exact" (scatter-max raster) or
+    "affine" (sheared-slab approximation, ~100x cheaper on TPU).
 
     Args:
       prob: (D, D, D) fused probability.
@@ -125,11 +228,16 @@ def ray_pool(
       occupancy: (D, D, D) bool thin surface voxels.
       votes: (D, D, D) int32 number of views voting voxel as ray-max.
     """
-    masks = jax.vmap(
-        lambda P: ray_max_mask_single_view(
-            prob, origin, s, P, raster_size, auto_scale
-        )
-    )(Ps)
+    if mode == "affine":
+        masks = jax.vmap(
+            lambda P: ray_max_mask_affine(prob, origin, s, P)
+        )(Ps)
+    else:
+        masks = jax.vmap(
+            lambda P: ray_max_mask_single_view(
+                prob, origin, s, P, raster_size, auto_scale
+            )
+        )(Ps)
     votes = jnp.sum(masks.astype(jnp.int32), axis=0)
     n_views = Ps.shape[0]
     need = jnp.maximum(jnp.ceil(gamma * n_views).astype(jnp.int32), 1)
@@ -146,6 +254,7 @@ def ray_pool_batch(
     gamma: float,
     raster_size: int = 128,
     auto_scale: bool = True,
+    mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmap of ray_pool over a batch of cubes.
 
@@ -158,6 +267,6 @@ def ray_pool_batch(
     taus = jnp.broadcast_to(jnp.asarray(taus), (probs.shape[0],))
     return jax.vmap(
         lambda p, o, P, t: ray_pool(
-            p, o, s, P, t, gamma, raster_size, auto_scale
+            p, o, s, P, t, gamma, raster_size, auto_scale, mode
         )
     )(probs, origins, Ps, taus)

@@ -182,6 +182,8 @@ def run_sweep_sharded(
             adaptive=cfg.fusion.adaptive_threshold,
             center_colors=cfg.voxel.center_colors,
             predict=predictor,
+            n_pool_views=cfg.fusion.n_pool_views,
+            ray_pool_mode=cfg.fusion.ray_pool_mode,
         )
         occ = np.asarray(occ)
         fused = np.asarray(fused)

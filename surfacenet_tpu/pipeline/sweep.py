@@ -124,7 +124,7 @@ def prefilter_cubes(
     jax.jit,
     static_argnames=(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
-        "predict", "use_pallas", "n_pool_views",
+        "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
     ),
 )
 def cube_batch_step(
@@ -144,6 +144,7 @@ def cube_batch_step(
     predict: Predictor,
     use_pallas: bool = False,
     n_pool_views: int = 6,
+    ray_pool_mode: str = "exact",
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -211,7 +212,7 @@ def cube_batch_step(
 
     def _pool_one(fp, o, pv, t):
         Pv = Ps[pv]  # (K, 3, 4)
-        occ, _ = ray_pool(fp, o, s, Pv, t, gamma)
+        occ, _ = ray_pool(fp, o, s, Pv, t, gamma, mode=ray_pool_mode)
         return occ
 
     occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
@@ -329,6 +330,8 @@ def run_sweep(
             adaptive=cfg.fusion.adaptive_threshold,
             center_colors=cfg.voxel.center_colors,
             predict=predictor,
+            n_pool_views=cfg.fusion.n_pool_views,
+            ray_pool_mode=cfg.fusion.ray_pool_mode,
         )
         occ = np.asarray(occ)
         fused = np.asarray(fused)
