@@ -22,6 +22,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def precise_divide(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    """Division with a Newton-Raphson-refined reciprocal.
+
+    The TPU VPU's f32 reciprocal is ~2^-8 accurate and XLA may lower ``x/y``
+    to it directly; for pixel coordinates ~10^3 px that is a 1-3 PIXEL
+    error — fatal for warping/sampling.  One refinement step squares the
+    error (~2^-16, <0.01 px); on exact-division backends it is a no-op.
+    """
+    inv = 1.0 / den
+    inv = inv * (2.0 - den * inv)
+    return num * inv
+
+
 def project(P: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-8):
     """Project world points into pixel coordinates.
 
@@ -37,7 +50,7 @@ def project(P: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-8):
     pts_h = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
     proj = jnp.einsum("...ij,...nj->...ni", P, pts_h)
     w = proj[..., 2]
-    uv = proj[..., :2] / (w[..., None] + eps)
+    uv = precise_divide(proj[..., :2], (w[..., None] + eps))
     return uv, w
 
 

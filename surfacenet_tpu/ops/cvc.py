@@ -97,12 +97,15 @@ def build_cvc(
     Returns:
       cvc: (D, D, D, C); valid: (D, D, D) bool.
     """
+    from surfacenet_tpu.geometry.camera import precise_divide
+
     centers = voxel_centers(origin, D, s)  # (D, D, D, 3)
     flat = centers.reshape(-1, 3)
     ones = jnp.ones((flat.shape[0], 1), flat.dtype)
     proj = jnp.concatenate([flat, ones], axis=-1) @ P.T  # (D^3, 3) matmul
     w = proj[:, 2]
-    uv = proj[:, :2] / (w[:, None] + 1e-8)
+    # precise_divide: TPU approximate-reciprocal division costs 1-3 px here
+    uv = precise_divide(proj[:, :2], w[:, None] + 1e-8)
     colors, valid = bilinear_sample(image, uv)
     valid = valid & (w > 0)
     colors = jnp.where(valid[:, None], colors, 0.0)

@@ -5,22 +5,29 @@ single worst-fitting op for a TPU.  This kernel restructures it TPU-natively
 (BASELINE north star: "CVC-warp kernel at speed-of-light"):
 
   * Per (cube, view) work item, the cube's projected image footprint is a
-    small crop window; the kernel DMAs that crop from HBM into VMEM once
-    (async, per-item, via scalar-prefetched window origins) and never
-    touches the full image again.
+    small crop window.  Crops are extracted once with XLA dynamic slices and
+    streamed through the kernel by the Pallas BlockSpec pipeline (automatic
+    double-buffered DMA overlapped with compute); the kernel never touches
+    the full image.
   * Bilinear interpolation is expressed WITHOUT gathers, as two dense
-    matmul-like contractions against "hat" weight matrices:
+    contractions against "hat" weight matrices:
 
-        sample(p, c) = sum_h sum_w hatV[p,h] * hatW[p,w] * crop[h, w, c]
+        sample(p, c) = sum_h sum_w hatV[p,h] * hatW[p,w] * crop[c, h, w]
 
-    computed as (CWx3, CH) @ (CH, PC) on the MXU followed by a VPU
+    computed as a (CH-contraction) matmul on the MXU followed by a VPU
     multiply-reduce over the crop width.  hat[p, i] = max(0, 1-|x_p - i|)
     is nonzero only at the two neighbors, so this is exactly bilinear.
   * Points are processed in lane-aligned chunks (PC lanes); all tensors keep
     the point dimension in lanes, so every op is tiled natively.
 
-The XLA-path oracle is ops/cvc.py::build_cvc_batch; tests assert exact
-agreement (to f32 tolerance) in interpret mode on CPU and compiled on TPU.
+Implementation note: an earlier version DMA'd crops manually from HBM inside
+the kernel (make_async_copy + semaphore); on real TPU the Mosaic scheduler
+hoisted the scratch reads past the DMA wait across grid steps, producing
+stale crops.  The BlockSpec pipeline has the dependency explicit and is also
+faster (overlaps the next item's crop fetch with current compute).
+
+The XLA-path oracle is ops/cvc.py::build_cvc_views; tests assert agreement
+in interpret mode on CPU and compiled on TPU.
 """
 
 from __future__ import annotations
@@ -38,17 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 def _warp_kernel(
     # scalar prefetch (SMEM)
     window_ref,  # (B, 2) int32: crop origin (v0, u0) per item
-    view_ref,  # (B,) int32: image index per item
     Pm_ref,  # (B, 12) f32: row-major 3x4 projection matrix per item
     origin_ref,  # (B, 3) f32: cube origin per item
-    # inputs
-    images_ref,  # (V, 3, H, W) f32 PLANAR layout, stays in HBM/ANY
+    # inputs (pipelined per grid step)
+    crop_ref,  # (1, 3, CH, CW) f32 VMEM: this item's image crop
     # outputs
-    cvc_ref,  # (1, 3, D3) f32 VMEM
+    cvc_ref,  # (1, 24, D3) f32 VMEM: channel c in rows [8c, 8c+8) (row 8c
+    #           used; 8-row slots keep every store sublane-tile aligned —
+    #           single-row stores at odd sublane offsets mis-lower on TPU)
     valid_ref,  # (1, 8, D3) f32 VMEM (row 0 used; 8 rows for sublane tile)
-    # scratch
-    crop_ref,  # (CH, CW, 3) f32 VMEM
-    sem,  # DMA semaphore
     *,
     D: int,
     s: float,
@@ -61,23 +66,12 @@ def _warp_kernel(
     item = pl.program_id(0)
     v0 = window_ref[item, 0]
     u0 = window_ref[item, 1]
-    view = view_ref[item]
-
-    # Fetch this item's crop window from HBM (planar: 3 channel planes).
-    dma = pltpu.make_async_copy(
-        images_ref.at[view, :, pl.ds(v0, CH), pl.ds(u0, CW)],
-        crop_ref,
-        sem,
-    )
-    dma.start()
 
     # 3x4 projection matrix + cube origin as SMEM scalars
     Pm = [
         [Pm_ref[item, r * 4 + c] for c in range(4)] for r in range(3)
     ]
     origin = [origin_ref[item, a] for a in range(3)]
-
-    dma.wait()
 
     n_chunks = (D * D * D) // PC
 
@@ -94,7 +88,12 @@ def _warp_kernel(
         num_u = Pm[0][0] * fx + Pm[0][1] * fy + Pm[0][2] * fz + Pm[0][3]
         num_v = Pm[1][0] * fx + Pm[1][1] * fy + Pm[1][2] * fz + Pm[1][3]
         den = Pm[2][0] * fx + Pm[2][1] * fy + Pm[2][2] * fz + Pm[2][3]
-        inv = 1.0 / (den + 1e-8)
+        # Mosaic lowers plain f32 division to a ~2^-8 approximate
+        # reciprocal; at u ~ 10^3 px that is a 1-3 PIXEL sampling error.
+        # Use the exact-mode reciprocal plus one Newton-Raphson refinement.
+        d = den + 1e-8
+        inv = pl.reciprocal(d, approx=False)
+        inv = inv * (2.0 - d * inv)
         u = num_u * inv  # (1, PC) global pixel coords
         v = num_v * inv
 
@@ -126,7 +125,7 @@ def _warp_kernel(
         # (contraction over CH = rows of both operands), then a VPU
         # multiply-reduce over CW against hatW.
         for c in range(3):
-            plane = crop_ref[c]  # (CH, CW)
+            plane = crop_ref[0, c]  # (CH, CW)
             T = jax.lax.dot_general(
                 plane,
                 hatV,
@@ -134,7 +133,9 @@ def _warp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (CW, PC)
             val = jnp.sum(T * hatW, axis=0, keepdims=True)  # (1, PC)
-            cvc_ref[0, pl.ds(c, 1), pl.ds(q0, PC)] = val * ok
+            cvc_ref[0, pl.ds(c * 8, 8), pl.ds(q0, PC)] = jnp.broadcast_to(
+                val * ok, (8, PC)
+            )
         valid_ref[0, :, pl.ds(q0, PC)] = jnp.broadcast_to(ok, (8, PC))
         return 0
 
@@ -176,7 +177,7 @@ def _compute_windows(
     static_argnames=("D", "s", "CH", "CW", "PC", "interpret"),
 )
 def warp_gather_pallas(
-    images: jnp.ndarray,  # (V, H, W, 3) f32 (transposed to planar inside)
+    images: jnp.ndarray,  # (V, H, W, 3) f32
     Ps: jnp.ndarray,  # (V, 3, 4) f32
     view_idx: jnp.ndarray,  # (B,) int32
     origins: jnp.ndarray,  # (B, 3) f32
@@ -208,19 +209,23 @@ def warp_gather_pallas(
         Ps_item, origins, D * s, H, W, CH, CW
     )  # (B, 2) int32
 
+    # XLA-side crop extraction; the pallas pipeline streams these per item.
+    def crop_one(vi, win):
+        return jax.lax.dynamic_slice(
+            images_planar[vi], (0, win[0], win[1]), (3, CH, CW)
+        )
+
+    crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
+            pl.BlockSpec((1, 3, CH, CW), lambda i, *_: (i, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, D3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 24, D3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 8, D3), lambda i, *_: (i, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((3, CH, CW), jnp.float32),
-            pltpu.SemaphoreType.DMA,
         ],
     )
 
@@ -231,19 +236,18 @@ def warp_gather_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 3, D3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 24, D3), jnp.float32),
             jax.ShapeDtypeStruct((B, 8, D3), jnp.float32),
         ],
         interpret=interpret,
     )(
         windows,
-        view_idx,
         Ps_item.reshape(B, 12).astype(jnp.float32),
         origins.astype(jnp.float32),
-        images_planar,
+        crops,
     )
 
-    colors = jnp.moveaxis(cvc, 1, -1).reshape(B, D, D, D, 3)
+    colors = jnp.moveaxis(cvc[:, ::8, :], 1, -1).reshape(B, D, D, D, 3)
     validb = (valid[:, 0, :] > 0.5).reshape(B, D, D, D)
     return colors, validb
 

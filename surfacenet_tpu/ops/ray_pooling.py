@@ -163,31 +163,22 @@ def ray_max_mask_affine(
         sl1 = n1 / safe
 
         ts = jnp.arange(D) - D // 2
+        oi = jnp.round(sl0 * ts).astype(jnp.int32)  # (D,)
+        oj = jnp.round(sl1 * ts).astype(jnp.int32)
 
-        def offs(t):
-            return (
-                jnp.round(sl0 * t).astype(jnp.int32),
-                jnp.round(sl1 * t).astype(jnp.int32),
-            )
-
-        # 1) sheared accumulation: M[p, q] = max_t p[t-slab shifted]
-        def acc(t, M):
-            oi, oj = offs(ts[t])
-            return jnp.maximum(M, _shift2d(p[:, :, t], oi, oj, NEG))
-
-        M = jax.lax.fori_loop(
-            0, D, acc, jnp.full((D, D), NEG, prob.dtype)
-        )
+        # 1) sheared accumulation: shift every slab at once (vmapped
+        #    dynamic_slice = one batched op, not a serial loop), then a
+        #    single max-reduce over t.
+        shifted = jax.vmap(
+            lambda t: _shift2d(p[:, :, t], oi[t], oj[t], NEG),
+        )(jnp.arange(D))  # (D, D, D) with t leading
+        M = jnp.max(shifted, axis=0)  # (D, D)
 
         # 2) broadcast back: ray_max for slab t = M shifted by -offs(t)
-        def back(t, out):
-            oi, oj = offs(ts[t])
-            rm = _shift2d(M, -oi, -oj, NEG)
-            return out.at[:, :, t].set(rm)
-
-        ray_max = jax.lax.fori_loop(
-            0, D, back, jnp.zeros_like(p)
-        )
+        ray_max = jax.vmap(
+            lambda t: _shift2d(M, -oi[t], -oj[t], NEG)
+        )(jnp.arange(D))  # (D, D, D) t leading
+        ray_max = jnp.moveaxis(ray_max, 0, -1)
         is_max = p >= ray_max - 1e-6
         inv = np.argsort(perm)
         return jnp.transpose(is_max, tuple(inv))

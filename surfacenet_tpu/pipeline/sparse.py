@@ -183,6 +183,22 @@ class SparseCubeStore:
         probv = np.concatenate(all_prob)
         colorv = np.concatenate(all_color, axis=0)
 
+        # native fast path: O(N) hash merge + binary-search containment
+        # (surfacenet_tpu/native); falls back to numpy below if unavailable.
+        from surfacenet_tpu.native import native_merge
+
+        done = np.asarray(sorted(self.done_set()), np.int64).reshape(-1, 3)
+        res = native_merge(
+            coords, probv, colorv, done, self.stride, self.D,
+            occupancy_vote,
+        )
+        if res is not None:
+            ucoords, probs, colors = res
+            pts = self.scene_origin + self.s * (ucoords + 0.5)
+            return (
+                pts.astype(np.float32), probs, np.clip(colors, 0.0, 1.0)
+            )
+
         # containment counts: how many *processed* cubes contain each voxel
         n_contain = self._containment_counts(coords)
 
