@@ -30,9 +30,13 @@ def main():
     from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
     from surfacenet_tpu.pipeline.sweep import cube_batch_step
 
+    on_tpu = jax.default_backend() not in ("cpu",)
     cfg = Config(
         voxel=VoxelConfig(voxel_size_mm=0.8, cube_size=32, overlap=8),
-        fusion=FusionConfig(n_view_pairs=5, tau=0.7, gamma=0.8),
+        fusion=FusionConfig(
+            n_view_pairs=5, tau=0.7, gamma=0.8,
+            ray_pool_mode="affine", n_pool_views=6,
+        ),
     )
     D = cfg.voxel.cube_size
     BATCH = 32
@@ -60,21 +64,27 @@ def main():
         D=D, s=cfg.voxel.voxel_size_mm, n_pairs=cfg.fusion.n_view_pairs,
         tau=cfg.fusion.tau, gamma=cfg.fusion.gamma, adaptive=False,
         center_colors=True, predict=predict,
+        use_pallas=on_tpu,  # pallas warp-gather kernel on TPU
+        n_pool_views=cfg.fusion.n_pool_views,
+        ray_pool_mode=cfg.fusion.ray_pool_mode,
     )
     args = (
         images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
         jnp.asarray(pair_w),
     )
 
-    # warmup + compile
-    out = cube_batch_step(*args, **kw)
-    jax.block_until_ready(out)
+    # warmup + compile.  Host-sync via a scalar readback each iteration:
+    # block_until_ready under-reports on the axon remote platform.
+    def run_once():
+        out = cube_batch_step(*args, **kw)
+        return float(jnp.sum(out[1]))
+
+    run_once()
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = cube_batch_step(*args, **kw)
-    jax.block_until_ready(out)
+        run_once()
     dt = time.perf_counter() - t0
 
     cubes_per_s = BATCH * n_iters / dt

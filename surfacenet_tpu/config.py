@@ -107,6 +107,9 @@ class SweepConfig:
     cube_batch: int = 16  # cubes per device per step (static shape)
     prefilter: bool = True  # frustum/content prefilter before batching
     min_views_visible: int = 2  # cube must fall inside >= this many frusta
+    # Pallas warp-gather kernel for CVC construction (TPU only; the XLA
+    # gather path is the oracle and the CPU/test default).
+    use_pallas_gather: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,8 +29,12 @@ def precise_divide(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
     to it directly; for pixel coordinates ~10^3 px that is a 1-3 PIXEL
     error — fatal for warping/sampling.  One refinement step squares the
     error (~2^-16, <0.01 px); on exact-division backends it is a no-op.
+
+    The optimization_barrier is load-bearing: XLA's algebraic simplifier
+    (--xla_allow_excess_precision) otherwise folds ``inv*(2 - den*inv)``
+    right back into ``1/den``.
     """
-    inv = 1.0 / den
+    inv = jax.lax.optimization_barrier(1.0 / den)
     inv = inv * (2.0 - den * inv)
     return num * inv
 
@@ -48,7 +52,13 @@ def project(P: jnp.ndarray, pts: jnp.ndarray, eps: float = 1e-8):
         standard DTU-style P with det(M) > 0).
     """
     pts_h = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
-    proj = jnp.einsum("...ij,...nj->...ni", P, pts_h)
+    # HIGHEST: the default TPU matmul precision is bf16; P entries are ~1e4
+    # so bf16 rounding is a 1-3 PIXEL projection error.  K=4, so full-f32
+    # passes are free.
+    proj = jnp.einsum(
+        "...ij,...nj->...ni", P, pts_h,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     w = proj[..., 2]
     uv = precise_divide(proj[..., :2], (w[..., None] + eps))
     return uv, w

@@ -102,7 +102,13 @@ def build_cvc(
     centers = voxel_centers(origin, D, s)  # (D, D, D, 3)
     flat = centers.reshape(-1, 3)
     ones = jnp.ones((flat.shape[0], 1), flat.dtype)
-    proj = jnp.concatenate([flat, ones], axis=-1) @ P.T  # (D^3, 3) matmul
+    # HIGHEST precision: default bf16 MXU rounding of ~1e4-magnitude P
+    # entries costs 1-3 px of sampling position (K=4, so it is free).
+    proj = jax.lax.dot_general(
+        jnp.concatenate([flat, ones], axis=-1), P.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (D^3, 3)
     w = proj[:, 2]
     # precise_divide: TPU approximate-reciprocal division costs 1-3 px here
     uv = precise_divide(proj[:, :2], w[:, None] + 1e-8)

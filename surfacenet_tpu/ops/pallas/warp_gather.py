@@ -161,7 +161,10 @@ def _compute_windows(
     )
     corners = origins[:, None, :] + extent_mm * offs[None]  # (B, 8, 3)
     ones = jnp.ones((*corners.shape[:-1], 1), jnp.float32)
-    ph = jnp.concatenate([corners, ones], -1) @ jnp.swapaxes(Ps_item, -1, -2)
+    ph = jnp.einsum(
+        "bci,bji->bcj", jnp.concatenate([corners, ones], -1), Ps_item,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     w = ph[..., 2]
     uv = ph[..., :2] / (w[..., None] + 1e-8)
     big = jnp.float32(1e9)

@@ -182,6 +182,7 @@ def run_sweep_sharded(
             adaptive=cfg.fusion.adaptive_threshold,
             center_colors=cfg.voxel.center_colors,
             predict=predictor,
+            use_pallas=cfg.sweep.use_pallas_gather,
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
         )

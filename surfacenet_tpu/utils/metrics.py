@@ -27,7 +27,11 @@ def _min_dists_chunk(q: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """min over ref of |q - ref|, via the (q.r) matmul expansion."""
     qn = jnp.sum(q * q, axis=-1, keepdims=True)  # (n, 1)
     rn = jnp.sum(ref * ref, axis=-1)[None]  # (1, m)
-    d2 = qn + rn - 2.0 * q @ ref.T
+    # HIGHEST: bf16 matmul would put ~0.4% error on distances (a metric!)
+    d2 = qn + rn - 2.0 * jax.lax.dot_general(
+        q, ref, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
 
 
