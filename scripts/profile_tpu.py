@@ -5,6 +5,9 @@ observable.  Uses host-sync timing (sum -> float) — block_until_ready alone
 under-reports on the axon remote platform.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import functools
 import time

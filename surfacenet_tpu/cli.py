@@ -158,6 +158,21 @@ def cmd_selftest(args):
     )
 
 
+def cmd_eval(args):
+    """DTU-protocol-style evaluation: predicted .ply vs GT points .ply."""
+    from surfacenet_tpu.utils.metrics import accuracy_completeness
+    from surfacenet_tpu.utils.ply import read_ply
+
+    pred, _ = read_ply(args.pred)
+    gt, _ = read_ply(args.gt)
+    acc, comp = accuracy_completeness(pred, gt, max_dist=args.max_dist)
+    overall = 0.5 * (acc + comp)
+    print(
+        f"accuracy {acc:.4f}mm  completeness {comp:.4f}mm  "
+        f"overall {overall:.4f}mm  ({len(pred)} pred / {len(gt)} gt points)"
+    )
+
+
 def cmd_bench(args):
     import bench
 
@@ -192,6 +207,13 @@ def main(argv=None):
 
     ps = sub.add_parser("selftest", help="synthetic golden-scene run")
     ps.set_defaults(fn=cmd_selftest)
+
+    pe = sub.add_parser("eval", help="evaluate predicted .ply vs GT .ply")
+    pe.add_argument("--pred", required=True)
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--max-dist", type=float, default=20.0,
+                    help="distance truncation (DTU protocol), mm")
+    pe.set_defaults(fn=cmd_eval)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -1,0 +1,75 @@
+"""Training-scene abstraction (SURVEY.md C11 data contract).
+
+Training needs, per scene: images + projection matrices + a ground-truth
+surface to (a) sample cube locations near and (b) voxelize into occupancy
+labels.  Two providers:
+
+  * ``SyntheticScene`` (data/synthetic.py) — analytic surface, used for
+    golden tests and the no-dataset environment.
+  * ``PointCloudScene`` (here) — GT given as a point cloud (the DTU
+    structured-light reference scans): occupancy = voxel center within half
+    a voxel diagonal of the nearest GT point, sampling draws from the GT
+    points directly.  This is the DTU-training path; plug a
+    ``data/dtu.py`` scan + its GT .ply in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+
+@runtime_checkable
+class TrainScene(Protocol):
+    images: np.ndarray  # (V, H, W, 3)
+    Ps: np.ndarray  # (V, 3, 4)
+
+    def surface_points(self, n: int, seed: int = 0) -> np.ndarray: ...
+
+    def occupancy(self, centers: np.ndarray, s: float) -> np.ndarray: ...
+
+
+@dataclasses.dataclass
+class PointCloudScene:
+    """GT-point-cloud-backed training scene (e.g. DTU reference scans)."""
+
+    images: np.ndarray
+    Ps: np.ndarray
+    gt_points: np.ndarray  # (N, 3) mm
+    bbox_min: np.ndarray = None
+    bbox_max: np.ndarray = None
+    name: str = ""
+
+    def __post_init__(self):
+        if self.bbox_min is None:
+            pad = 5.0
+            self.bbox_min = self.gt_points.min(axis=0) - pad
+            self.bbox_max = self.gt_points.max(axis=0) + pad
+
+    def surface_points(self, n: int, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, len(self.gt_points), n)
+        return self.gt_points[idx]
+
+    def surface_distance(self, pts: np.ndarray) -> np.ndarray:
+        from surfacenet_tpu.utils.metrics import min_dists
+
+        shape = pts.shape[:-1]
+        return min_dists(pts.reshape(-1, 3), self.gt_points).reshape(shape)
+
+    def occupancy(self, centers: np.ndarray, s: float) -> np.ndarray:
+        return self.surface_distance(centers) <= (s * np.sqrt(3) / 2)
+
+    @staticmethod
+    def from_scan(scan, gt_ply_path: str) -> "PointCloudScene":
+        """Build from a dtu.Scan + a GT point-cloud .ply."""
+        from surfacenet_tpu.utils.ply import read_ply
+
+        gt, _ = read_ply(gt_ply_path)
+        return PointCloudScene(
+            images=scan.images, Ps=scan.Ps, gt_points=gt,
+            bbox_min=scan.bbox_min, bbox_max=scan.bbox_max,
+            name=scan.name,
+        )

@@ -159,30 +159,41 @@ class TrainLog:
 
 
 def train_surfacenet(
-    scene: SyntheticScene,
+    scene,
     cfg: Config,
     n_steps: Optional[int] = None,
     state: Optional[TrainState] = None,
     checkpoint_dir: Optional[str] = None,
     log_every: int = 50,
 ) -> Tuple[TrainState, TrainLog]:
-    """Single-host training driver on a (synthetic or DTU-backed) scene."""
+    """Single-host training driver.
+
+    Args:
+      scene: a TrainScene (synthetic or PointCloudScene) or a sequence of
+        them — multi-scene training round-robins scenes per step (the
+        reference trains across the DTU training scans; SURVEY.md C11).
+        Scenes must share image resolution (one compiled step program).
+    """
+    scenes = list(scene) if isinstance(scene, (list, tuple)) else [scene]
     rng = np.random.default_rng(cfg.train.seed)
     if state is None:
         _, state = create_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
 
-    images = jnp.asarray(scene.images, jnp.float32)
-    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    images_d = [jnp.asarray(sc.images, jnp.float32) for sc in scenes]
+    Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
     n_steps = n_steps if n_steps is not None else cfg.train.n_steps
 
     log = TrainLog(steps=[], losses=[])
     for step in range(n_steps):
-        origins, pair_idx, labels = sample_training_batch(scene, cfg, rng)
+        si = step % len(scenes)
+        origins, pair_idx, labels = sample_training_batch(
+            scenes[si], cfg, rng
+        )
         state, loss = train_step(
             state,
-            images, Ps,
+            images_d[si], Ps_d[si],
             jnp.asarray(origins), jnp.asarray(pair_idx), jnp.asarray(labels),
             D=cfg.voxel.cube_size,
             s=cfg.voxel.voxel_size_mm,
