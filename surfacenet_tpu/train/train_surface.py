@@ -127,10 +127,11 @@ def sample_training_batch(
     samples cubes around the GT surface; SURVEY.md C11); labels voxelize the
     analytic surface.
     """
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+
     B = batch or cfg.train.batch_size
     D = cfg.voxel.cube_size
     s = cfg.voxel.voxel_size_mm
-    V = scene.Ps.shape[0]
 
     pts = scene.surface_points(B, seed=int(rng.integers(1 << 31)))
     jitter = rng.uniform(-0.25, 0.25, (B, 3)) * D * s
@@ -143,12 +144,17 @@ def sample_training_batch(
     centers = origins[:, None, None, None, :] + local
     labels = scene.occupancy(centers, s).astype(np.float32)
 
-    # random view pair (views are all inward-facing in the ring scene; for
-    # DTU this uses visibility-filtered pairs)
-    a = rng.integers(0, V, B)
-    off = rng.integers(1, max(V // 4, 2), B)
-    b = (a + off) % V
-    pair_idx = np.stack([a, b], axis=-1).astype(np.int32)
+    # visibility/baseline-aware pairs — same selector as inference, with a
+    # random draw from the top-k so training sees the fusion-time pair
+    # distribution (random far-side pairs would inject occluded garbage).
+    k = max(cfg.fusion.n_view_pairs, 2)
+    sel, w = select_pairs_geometric(
+        scene.Ps, origins, n_pairs=k,
+        image_hw=scene.images.shape[1:3],
+        extent_mm=cfg.voxel.cube_extent_mm,
+    )
+    choice = rng.integers(0, k, B)
+    pair_idx = sel[np.arange(B), choice].astype(np.int32)
     return origins.astype(np.float32), pair_idx, labels
 
 
