@@ -101,13 +101,20 @@ class SparseCubeStore:
             f.write(json.dumps(rec) + "\n")
 
     def _load_ledger(self) -> None:
-        """Resume: re-hydrate completed cubes from the ledger."""
+        """Resume: re-hydrate completed cubes from the ledger.
+
+        Crash-resilient: a process killed mid-append leaves a truncated
+        final line — skipped (that cube is simply redone), never fatal.
+        """
         with open(self.ledger_path) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn write from a crashed process
                 g = tuple(rec["grid_idx"])
                 self._done.add(g)
                 if rec.get("empty", True):
