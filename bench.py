@@ -60,6 +60,15 @@ def main():
         scene.images.shape[1:3], extent_mm=cfg.voxel.cube_extent_mm,
     )
 
+    if on_tpu:
+        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+
+        crop_hw = auto_crop_hw(
+            scene.Ps, scene.bbox_min, scene.bbox_max, D,
+            cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
+        )
+    else:
+        crop_hw = (192, 256)
     kw = dict(
         D=D, s=cfg.voxel.voxel_size_mm, n_pairs=cfg.fusion.n_view_pairs,
         tau=cfg.fusion.tau, gamma=cfg.fusion.gamma, adaptive=False,
@@ -67,6 +76,7 @@ def main():
         use_pallas=on_tpu,  # pallas warp-gather kernel on TPU
         n_pool_views=cfg.fusion.n_pool_views,
         ray_pool_mode=cfg.fusion.ray_pool_mode,
+        crop_hw=crop_hw,
     )
     args = (
         images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),

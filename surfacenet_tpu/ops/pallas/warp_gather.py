@@ -255,6 +255,59 @@ def warp_gather_pallas(
     return colors, validb
 
 
+def auto_crop_hw(
+    Ps: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    D: int,
+    s: float,
+    image_hw,
+    margin: float = 1.15,
+):
+    """Pick (CH, CW) to cover the largest cube footprint in the scene.
+
+    The kernel's interpolation cost scales with CH*CW, so a footprint-sized
+    crop (instead of the conservative 192x256 default) is a 3-10x FLOP
+    saving.  Host-side, once per scene: probe cubes on a coarse grid over
+    the bbox, project their corners into every view, take the maximal
+    footprint extent, pad by `margin` + 2px of bilinear slack, and snap to
+    the (8, 128) f32 tile.
+    """
+    bbox_min = np.asarray(bbox_min, np.float64)
+    bbox_max = np.asarray(bbox_max, np.float64)
+    H, W = image_hw
+    lin = [np.linspace(bbox_min[a], bbox_max[a] - D * s, 4) for a in range(3)]
+    gx, gy, gz = np.meshgrid(*lin, indexing="ij")
+    origins = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    offs = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.float64
+    )
+    corners = origins[:, None, :] + D * s * offs[None]  # (N, 8, 3)
+    ones = np.ones((*corners.shape[:-1], 1))
+    ph = np.einsum(
+        "nci,vji->nvcj", np.concatenate([corners, ones], -1),
+        np.asarray(Ps, np.float64),
+    )  # (N, V, 8, 3)
+    w = ph[..., 2]
+    uv = ph[..., :2] / np.where(np.abs(w[..., None]) < 1e-9, 1e-9, w[..., None])
+    # only front-facing, on-screen-ish footprints count
+    ok = (w > 0) & (uv[..., 0] > -W) & (uv[..., 0] < 2 * W)         & (uv[..., 1] > -H) & (uv[..., 1] < 2 * H)
+    big = 1e18
+    umin = np.min(np.where(ok, uv[..., 0], big), axis=-1)
+    umax = np.max(np.where(ok, uv[..., 0], -big), axis=-1)
+    vmin = np.min(np.where(ok, uv[..., 1], big), axis=-1)
+    vmax = np.max(np.where(ok, uv[..., 1], -big), axis=-1)
+    valid = ok.any(axis=-1)
+    du = np.where(valid, umax - umin, 0.0).max()
+    dv = np.where(valid, vmax - vmin, 0.0).max()
+    CH = int(np.ceil((dv * margin + 4) / 8) * 8)
+    CW = int(np.ceil((du * margin + 4) / 128) * 128)
+    CH = int(np.clip(CH, 32, min(((H // 8) * 8), 512)))
+    CW = int(np.clip(CW, 128, min(((W // 128) * 128), 512)))
+    return CH, CW
+
+
 def build_cvc_batch_pallas(
     images: jnp.ndarray,
     Ps: jnp.ndarray,

@@ -125,6 +125,7 @@ def prefilter_cubes(
     static_argnames=(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
+        "crop_hw",
     ),
 )
 def cube_batch_step(
@@ -145,6 +146,7 @@ def cube_batch_step(
     use_pallas: bool = False,
     n_pool_views: int = 6,
     ray_pool_mode: str = "exact",
+    crop_hw: tuple = (192, 256),
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -170,7 +172,8 @@ def cube_batch_step(
     all_origins = jnp.concatenate([flat_origins, flat_origins], axis=0)
     if use_pallas:
         colors, valids = warp_gather_pallas(
-            images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s
+            images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s,
+            CH=crop_hw[0], CW=crop_hw[1],
         )
     else:
         colors, valids = build_cvc_views(
@@ -307,6 +310,14 @@ def run_sweep(
     images_d = jnp.asarray(images, jnp.float32)
     Ps_d = jnp.asarray(Ps, jnp.float32)
 
+    crop_hw = (192, 256)
+    if cfg.sweep.use_pallas_gather:
+        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+
+        crop_hw = auto_crop_hw(
+            Ps, bbox_min, bbox_max, D, s, hw
+        )
+
     B = cfg.sweep.cube_batch
     n = len(origins)
     n_pad = (-n) % B
@@ -333,6 +344,7 @@ def run_sweep(
             use_pallas=cfg.sweep.use_pallas_gather,
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
+            crop_hw=crop_hw,
         )
         occ = np.asarray(occ)
         fused = np.asarray(fused)
