@@ -50,10 +50,10 @@ def _warp_kernel(
     # inputs (pipelined per grid step)
     crop_ref,  # (1, 3, CH, CW) f32 VMEM: this item's image crop
     # outputs
-    cvc_ref,  # (1, 24, D3) f32 VMEM: channel c in rows [8c, 8c+8) (row 8c
-    #           used; 8-row slots keep every store sublane-tile aligned —
+    cvc_ref,  # (1, 24, PC) f32 VMEM block: channel c in rows [8c, 8c+8)
+    #           (row 8c used; 8-row slots keep stores sublane-tile aligned —
     #           single-row stores at odd sublane offsets mis-lower on TPU)
-    valid_ref,  # (1, 8, D3) f32 VMEM (row 0 used; 8 rows for sublane tile)
+    valid_ref,  # (1, 8, PC) f32 VMEM block (row 0 used)
     *,
     D: int,
     s: float,
@@ -64,6 +64,7 @@ def _warp_kernel(
     W: int,
 ):
     item = pl.program_id(0)
+    ci = pl.program_id(1)  # point-chunk index (grid dim 1)
     v0 = window_ref[item, 0]
     u0 = window_ref[item, 1]
 
@@ -73,9 +74,7 @@ def _warp_kernel(
     ]
     origin = [origin_ref[item, a] for a in range(3)]
 
-    n_chunks = (D * D * D) // PC
-
-    def chunk_body(ci, _):
+    if True:
         q0 = ci * PC
         q = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, PC), 1)  # (1, PC)
         i = q // (D * D)
@@ -133,13 +132,10 @@ def _warp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (CW, PC)
             val = jnp.sum(T * hatW, axis=0, keepdims=True)  # (1, PC)
-            cvc_ref[0, pl.ds(c * 8, 8), pl.ds(q0, PC)] = jnp.broadcast_to(
+            cvc_ref[0, pl.ds(c * 8, 8), :] = jnp.broadcast_to(
                 val * ok, (8, PC)
             )
-        valid_ref[0, :, pl.ds(q0, PC)] = jnp.broadcast_to(ok, (8, PC))
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        valid_ref[0, :, :] = jnp.broadcast_to(ok, (8, PC))
 
 
 def _compute_windows(
@@ -220,15 +216,20 @@ def warp_gather_pallas(
 
     crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
 
+    # 2D grid: (item, point-chunk).  Output blocks are per-chunk so VMEM
+    # stays bounded at any D (64^3 would need a 25 MB per-item block
+    # otherwise); the crop's index map ignores the chunk axis, so the
+    # pipeline fetches each item's crop once and reuses it across chunks.
+    n_chunks = D3 // PC
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, CH, CW), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 24, D3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 8, D3), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 24, PC), lambda i, c, *_: (i, 0, c)),
+            pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
         ],
     )
 

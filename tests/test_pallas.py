@@ -75,3 +75,28 @@ def test_build_cvc_batch_pallas_matches_oracle(scene):
     both = v_ref & v_pal
     d = np.abs(np.asarray(x_ref) - np.asarray(x_pal))[both]
     assert d.max() < 1e-3
+
+
+def test_warp_gather_64_cube(scene):
+    """64^3 cubes (inference size, BASELINE config 2) through the 2D-grid
+    kernel: multi-chunk outputs must agree with the oracle."""
+    D, s = 64, 0.5
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    origins = jnp.asarray(np.array([[-16.0, -16.0, -16.0]], np.float32))
+    views = jnp.asarray(np.array([1], np.int32))
+
+    colors, valid = warp_gather_pallas(
+        images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=2048,
+        interpret=True,
+    )
+    from surfacenet_tpu.ops.cvc import build_cvc
+
+    ref, rv = build_cvc(
+        images[1], Ps[1], origins[0], D, s, center_colors=False
+    )
+    gv = np.asarray(valid[0])
+    rv = np.asarray(rv)
+    assert (gv == rv).mean() > 0.999
+    both = gv & rv
+    assert np.abs(np.asarray(colors[0])[both] - np.asarray(ref)[both]).max() < 1e-3
