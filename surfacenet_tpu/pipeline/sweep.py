@@ -326,8 +326,9 @@ def run_sweep(
         pair_idx = np.concatenate([pair_idx, pair_idx[:1].repeat(n_pad, 0)])
         pair_w = np.concatenate([pair_w, pair_w[:1].repeat(n_pad, 0)])
 
-    for b0 in range(0, n + n_pad, B):
-        occ, fused, color = cube_batch_step(
+    def dispatch(b0):
+        """Launch one batch (async; jax dispatch returns immediately)."""
+        return cube_batch_step(
             images_d,
             Ps_d,
             jnp.asarray(origins[b0 : b0 + B], jnp.float32),
@@ -346,15 +347,25 @@ def run_sweep(
             ray_pool_mode=cfg.fusion.ray_pool_mode,
             crop_hw=crop_hw,
         )
-        occ = np.asarray(occ)
-        fused = np.asarray(fused)
-        color = np.asarray(color)
+
+    def harvest(b0, out):
+        occ, fused, color = (np.asarray(o) for o in out)
         stats.n_batches += 1
         for i in range(min(B, n - b0)):
             gi = tuple(grid[b0 + i])
             if occ[i].any():
                 stats.n_cubes_nonempty += 1
-            store.add(
-                CubeResult(gi, occ[i], fused[i], color[i])
-            )
+            store.add(CubeResult(gi, occ[i], fused[i], color[i]))
+
+    # double-buffered: dispatch batch k+1 before harvesting k, so the
+    # host-side store/ledger work overlaps device compute.
+    starts = list(range(0, n + n_pad, B))
+    pending = None
+    for b0 in starts:
+        out = dispatch(b0)
+        if pending is not None:
+            harvest(*pending)
+        pending = (b0, out)
+    if pending is not None:
+        harvest(*pending)
     return store, stats
