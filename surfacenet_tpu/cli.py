@@ -64,7 +64,12 @@ def cmd_reconstruct(args):
     )
 
     cfg = _load_config(args)
-    scan = load_scan(args.scan, downsample=args.downsample)
+    if args.colmap:
+        from surfacenet_tpu.data.colmap import load_colmap_scan
+
+        scan = load_colmap_scan(args.scan, downsample=args.downsample)
+    else:
+        scan = load_scan(args.scan, downsample=args.downsample)
     if scan.bbox_min is None:
         raise SystemExit(
             "scan has no bbox.txt; pass one or add it to the scan dir"
@@ -185,6 +190,8 @@ def main(argv=None):
 
     pr = sub.add_parser("reconstruct", help="sweep a scan -> .ply")
     pr.add_argument("--scan", required=True)
+    pr.add_argument("--colmap", action="store_true",
+                    help="scan dir is a COLMAP sparse model")
     pr.add_argument("--out", default="out.ply")
     pr.add_argument("--checkpoint")
     pr.add_argument("--ledger")

@@ -118,6 +118,30 @@ def pair_train_step(state, anc, pos, neg, *, margin: float):
     return state.apply_gradients(grads=grads), loss
 
 
+def save_pairnet(ckpt_dir: str, variables, step: int = 0) -> None:
+    """Orbax checkpoint of the pair-weight net (SURVEY.md C13)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"pairnet_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": variables["params"]}, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_pairnet(ckpt_dir: str, cfg: Config, step: int = 0):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    model, variables = init_pairnet(cfg.pairnet, jax.random.PRNGKey(0))
+    path = os.path.abspath(os.path.join(ckpt_dir, f"pairnet_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, {"params": variables["params"]})
+    return model, {"params": restored["params"]}
+
+
 def train_pairnet(
     scene: SyntheticScene,
     cfg: Config,

@@ -102,3 +102,21 @@ def test_triplet_sampling_and_training(small_scene):
         small_scene, cfg, n_steps=20, lr=3e-3
     )
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_pairnet_checkpoint_roundtrip(tmp_path, small_scene):
+    import jax
+    import numpy as np
+
+    from surfacenet_tpu.models.pairnet import init_pairnet
+    from surfacenet_tpu.train.train_pair import restore_pairnet, save_pairnet
+
+    cfg = _cfg()
+    model, variables = init_pairnet(cfg.pairnet, jax.random.PRNGKey(42))
+    save_pairnet(str(tmp_path), variables, step=3)
+    model2, restored = restore_pairnet(str(tmp_path), cfg, step=3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b))
