@@ -31,11 +31,13 @@ def main():
     from surfacenet_tpu.pipeline.sweep import cube_batch_step
 
     on_tpu = jax.default_backend() not in ("cpu",)
+
     cfg = Config(
         voxel=VoxelConfig(voxel_size_mm=0.8, cube_size=32, overlap=8),
         fusion=FusionConfig(
             n_view_pairs=5, tau=0.7, gamma=0.8,
-            ray_pool_mode="affine", n_pool_views=6,
+            ray_pool_mode="affine_pallas" if on_tpu else "affine",
+            n_pool_views=6,
         ),
     )
     D = cfg.voxel.cube_size

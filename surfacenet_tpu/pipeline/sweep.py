@@ -213,12 +213,29 @@ def cube_batch_step(
         lambda pv: jnp.unique(pv, size=K, fill_value=pv[0])
     )(pv_all)
 
-    def _pool_one(fp, o, pv, t):
-        Pv = Ps[pv]  # (K, 3, 4)
-        occ, _ = ray_pool(fp, o, s, Pv, t, gamma, mode=ray_pool_mode)
-        return occ
+    if ray_pool_mode == "affine_pallas":
+        # flattened (cube, view) items through the Pallas shear kernel
+        from surfacenet_tpu.ops.pallas.affine_pool import (
+            ray_max_mask_affine_pallas,
+        )
 
-    occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
+        flat_probs = jnp.repeat(fused, K, axis=0)  # (Nc*K, D,D,D)
+        flat_pool_origins = jnp.repeat(origins, K, axis=0)
+        flat_Ps = Ps[pool_views.reshape(-1)]  # (Nc*K, 3, 4)
+        masks = ray_max_mask_affine_pallas(
+            flat_probs, flat_pool_origins, s, flat_Ps
+        ).reshape(Nc, K, D, D, D)
+        votes = jnp.sum(masks.astype(jnp.int32), axis=1)
+        need = max(int(np.ceil(gamma * K)), 1)
+        occ = (votes >= need) & (fused > taus[:, None, None, None])
+    else:
+
+        def _pool_one(fp, o, pv, t):
+            Pv = Ps[pv]  # (K, 3, 4)
+            occ, _ = ray_pool(fp, o, s, Pv, t, gamma, mode=ray_pool_mode)
+            return occ
+
+        occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
 
     # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)

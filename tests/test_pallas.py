@@ -100,3 +100,31 @@ def test_warp_gather_64_cube(scene):
     assert (gv == rv).mean() > 0.999
     both = gv & rv
     assert np.abs(np.asarray(colors[0])[both] - np.asarray(ref)[both]).max() < 1e-3
+
+
+def test_affine_pool_pallas_matches_xla(scene):
+    """Pallas affine ray pool vs the XLA affine oracle (interpret mode)."""
+    from surfacenet_tpu.ops.pallas.affine_pool import (
+        ray_max_mask_affine_pallas,
+    )
+    from surfacenet_tpu.ops.ray_pooling import ray_max_mask_affine
+
+    rng = np.random.default_rng(0)
+    D, s = 16, 2.0
+    N = 6
+    probs = jnp.asarray(rng.uniform(size=(N, D, D, D)).astype(np.float32))
+    origins = jnp.asarray(
+        np.tile(np.array([-16.0, -16.0, -16.0], np.float32), (N, 1))
+    )
+    views = rng.integers(0, scene.Ps.shape[0], N)
+    Ps = jnp.asarray(scene.Ps[views], jnp.float32)
+
+    got = np.asarray(
+        ray_max_mask_affine_pallas(probs, origins, s, Ps, interpret=True)
+    )
+    for i in range(N):
+        ref = np.asarray(
+            ray_max_mask_affine(probs[i], origins[i], s, Ps[i])
+        )
+        agree = (got[i] == ref).mean()
+        assert agree > 0.999, f"item {i}: agreement {agree}"
