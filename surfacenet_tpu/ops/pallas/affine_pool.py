@@ -3,8 +3,10 @@
 The XLA formulation of the affine ray-max (ops/ray_pooling.py::
 ray_max_mask_affine) vmaps dynamic-sliced 2D shifts, which XLA lowers to
 gathers — the exact thing the affine mode exists to avoid.  In Pallas the
-same shifts are VMEM pointer arithmetic: per (cube, view) item the kernel
-does 2*D dynamic slices of a padded (3D, 3D) scratch — microseconds.
+same shifts are dynamic lane/sublane ROTATES (tpu.dynamic_rotate) of a
+NEG-padded (2D, 2D) tile with static reads — wraparound lands in the
+padding, so a circular roll realizes the shift exactly.  Per (cube, view)
+item that is 2*D tiny VPU rotates — microseconds, no gathers.
 
 The dominant ray axis varies per item; rather than data-dependent
 transposes, the wrapper runs the kernel once per axis permutation on
@@ -27,9 +29,10 @@ NEG = -1e30
 
 def _affine_pool_kernel(
     slopes_ref,  # (N, 2) f32 scalar prefetch: (sl0, sl1) per item
-    vol_ref,  # (1, D, D, D) f32 VMEM: probability, dominant axis LAST
+    vol_ref,  # (1, D, D, D) f32 VMEM: dominant (depth) axis FIRST of the
+    #           three spatial dims — dynamic slab indexing must hit an
+    #           untiled leading axis, never the (8,128)-tiled trailing two
     mask_ref,  # (1, D, D, D) f32 VMEM out: 1.0 where ray-max
-    pad_ref,  # (3D, 3D) f32 scratch
     *,
     D: int,
 ):
@@ -37,34 +40,46 @@ def _affine_pool_kernel(
     sl0 = slopes_ref[item, 0]
     sl1 = slopes_ref[item, 1]
 
-    pad_ref[...] = jnp.full((3 * D, 3 * D), NEG, jnp.float32)
-
     def offs(t):
         tf = (t - D // 2).astype(jnp.float32)
         oi = jnp.round(sl0 * tf).astype(jnp.int32)
         oj = jnp.round(sl1 * tf).astype(jnp.int32)
         return oi, oj
 
+    def shifted(slab, oi, oj):
+        """(D, D) -> (D, D): out[i, j] = slab[i-oi, j-oj], NEG outside.
+
+        Circular roll of a (2D, 2D) NEG-padded tile: for |o| <= D the
+        wrapped-around content lands in the padding, so the top-left (D, D)
+        window of the rolled tile is exactly the shifted slab.
+        """
+        # lane-dim rotates need >=128 lanes; pad width to a 128 multiple.
+        L = max(2 * D, 128)
+        top = jnp.concatenate(
+            [slab, jnp.full((D, L - D), NEG, jnp.float32)], axis=1
+        )  # (D, L)
+        buf = jnp.concatenate(
+            [top, jnp.full((D, L), NEG, jnp.float32)], axis=0
+        )  # (2D, L)
+        buf = pltpu.roll(buf, oi, 0)
+        buf = pltpu.roll(buf, oj, 1)
+        return buf[:D, :D]
+
     # pass 1: M[p, q] = max_t shifted slab t
     def acc(t, M):
         oi, oj = offs(t)
-        pad_ref[pl.ds(D, D), pl.ds(D, D)] = vol_ref[0, :, :, t]
-        sh = pad_ref[pl.ds(D - oi, D), pl.ds(D - oj, D)]
-        return jnp.maximum(M, sh)
+        return jnp.maximum(M, shifted(vol_ref[0, t], oi, oj))
 
     M = jax.lax.fori_loop(
         0, D, acc, jnp.full((D, D), NEG, jnp.float32)
     )
 
     # pass 2: ray_max for slab t = M shifted back; mask = vol >= ray_max
-    pad_ref[...] = jnp.full((3 * D, 3 * D), NEG, jnp.float32)
-    pad_ref[pl.ds(D, D), pl.ds(D, D)] = M
-
     def back(t, _):
         oi, oj = offs(t)
-        rm = pad_ref[pl.ds(D + oi, D), pl.ds(D + oj, D)]
-        mask_ref[0, :, :, t] = (
-            vol_ref[0, :, :, t] >= rm - 1e-6
+        rm = shifted(M, -oi, -oj)
+        mask_ref[0, t] = (
+            vol_ref[0, t] >= rm - 1e-6
         ).astype(jnp.float32)
         return 0
 
@@ -89,7 +104,6 @@ def _pool_one_axis(
         out_specs=[
             pl.BlockSpec((1, D, D, D), lambda i, *_: (i, 0, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((3 * D, 3 * D), jnp.float32)],
     )
     (mask,) = pl.pallas_call(
         functools.partial(_affine_pool_kernel, D=D),
@@ -121,10 +135,12 @@ def ray_max_mask_affine_pallas(
     n = jnp.cross(A[:, 0], A[:, 1])  # (N, 3) ray direction
     axis = jnp.argmax(jnp.abs(n), axis=-1)  # (N,)
 
-    perms = [(1, 2, 0), (0, 2, 1), (0, 1, 2)]
+    perms = [(1, 2, 0), (0, 2, 1), (0, 1, 2)]  # (o1, o2, dominant)
     masks = []
     for a, perm in enumerate(perms):
-        vols = jnp.transpose(probs, (0,) + tuple(p + 1 for p in perm))
+        # kernel layout: depth (dominant axis) FIRST, then (o1, o2)
+        order = (perm[2], perm[0], perm[1])
+        vols = jnp.transpose(probs, (0,) + tuple(p + 1 for p in order))
         na = n[:, perm[2]]
         safe = jnp.where(jnp.abs(na) < 1e-12, 1e-12, na)
         slopes = jnp.stack(
@@ -134,7 +150,7 @@ def ray_max_mask_affine_pallas(
         # results are discarded by the select below).
         slopes = jnp.clip(slopes, -1.0, 1.0)
         m = _pool_one_axis(vols, slopes, D=D, interpret=interpret)
-        inv = tuple(int(np.argsort(perm)[i]) + 1 for i in range(3))
+        inv = tuple(int(i) + 1 for i in np.argsort(order))
         masks.append(jnp.transpose(m, (0,) + inv))
 
     stacked = jnp.stack(masks)  # (3, N, D, D, D)
