@@ -85,18 +85,22 @@ def main():
         jnp.asarray(pair_w),
     )
 
-    # warmup + compile.  Host-sync via a scalar readback each iteration:
-    # block_until_ready under-reports on the axon remote platform.
-    def run_once():
-        out = cube_batch_step(*args, **kw)
-        return float(jnp.sum(out[1]))
-
-    run_once()
+    # warmup + compile, then PIPELINED timing: dispatch all iterations
+    # asynchronously and host-sync once at the end — matching the sweep's
+    # double-buffered production loop.  (A per-iteration host sync would
+    # add the ~30 ms relay round-trip to every batch; block_until_ready
+    # alone under-reports on the axon remote platform, hence the scalar
+    # readback.)
+    out = cube_batch_step(*args, **kw)
+    float(jnp.sum(out[1]))
 
     n_iters = 10
     t0 = time.perf_counter()
+    sums = []
     for _ in range(n_iters):
-        run_once()
+        out = cube_batch_step(*args, **kw)
+        sums.append(jnp.sum(out[1]))
+    float(sum(sums))  # one host sync for the whole chain
     dt = time.perf_counter() - t0
 
     cubes_per_s = BATCH * n_iters / dt
