@@ -32,12 +32,15 @@ P = functools.partial(print, flush=True)
 
 def main(n_steps: int = 1500):
     on_tpu = jax.default_backend() != "cpu"
+    import os
+    s_mm = float(os.environ.get("DEMO_VOXEL_MM", "1.0"))
     cfg = Config(
-        voxel=VoxelConfig(voxel_size_mm=1.0, cube_size=32, overlap=8),
+        voxel=VoxelConfig(voxel_size_mm=s_mm, cube_size=32, overlap=8),
         model=ModelConfig(),  # full-size net
         fusion=FusionConfig(
             n_view_pairs=4, tau=0.5, gamma=0.7,
-            ray_pool_mode="affine", n_pool_views=6,
+            ray_pool_mode="affine_pallas" if on_tpu else "affine",
+            n_pool_views=6,
         ),
         sweep=SweepConfig(cube_batch=16, use_pallas_gather=on_tpu),
         train=TrainConfig(batch_size=16, lr=3e-3, seed=0),
