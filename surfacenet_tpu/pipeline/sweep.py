@@ -274,6 +274,7 @@ def run_sweep(
     predictor: Predictor,
     pair_selector: Optional[Callable] = None,
     ledger_path: Optional[str] = None,
+    metrics=None,
 ) -> Tuple[SparseCubeStore, SweepStats]:
     """Full single-host scene sweep -> sparse store.
 
@@ -373,9 +374,18 @@ def run_sweep(
             if occ[i].any():
                 stats.n_cubes_nonempty += 1
             store.add(CubeResult(gi, occ[i], fused[i], color[i]))
+        if metrics is not None:
+            metrics.count("cubes_processed", min(B, n - b0))
+            metrics.count("voxels_occupied", float(occ.sum()))
+            metrics.gauge(
+                "occupancy_rate", float(occ.mean())
+            )
 
     # double-buffered: dispatch batch k+1 before harvesting k, so the
     # host-side store/ledger work overlaps device compute.
+    import time as _time
+
+    t0 = _time.perf_counter()
     starts = list(range(0, n + n_pad, B))
     pending = None
     for b0 in starts:
@@ -385,4 +395,9 @@ def run_sweep(
         pending = (b0, out)
     if pending is not None:
         harvest(*pending)
+    if metrics is not None:
+        wall = _time.perf_counter() - t0
+        metrics.gauge("sweep_wall_s", wall)
+        metrics.gauge("cubes_per_s", n / wall if wall > 0 else 0.0)
+        metrics.flush()
     return store, stats

@@ -42,3 +42,43 @@ def test_scaling_efficiency():
     assert abs(eff[1] - 1.0) < 1e-9
     assert abs(eff[2] - 0.9) < 1e-9
     assert abs(eff[4] - 0.8) < 1e-9
+
+
+def test_metrics_wired_into_sweep(tmp_path, request):
+    small_scene = request.getfixturevalue("small_scene")
+    from surfacenet_tpu.config import (
+        Config, FusionConfig, SweepConfig, VoxelConfig,
+    )
+    from surfacenet_tpu.pipeline.sweep import (
+        photoconsistency_predictor, run_sweep,
+    )
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        fusion=FusionConfig(n_view_pairs=2, tau=0.3, gamma=0.6),
+        sweep=SweepConfig(cube_batch=8),
+    )
+    m = Metrics(path=str(tmp_path / "m.jsonl"))
+    store, stats = run_sweep(
+        small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+        cfg, photoconsistency_predictor, metrics=m,
+    )
+    snap = m.snapshot()
+    assert snap["cubes_processed"] == stats.n_cubes_after_prefilter
+    assert snap["cubes_per_s"] > 0
+    assert (tmp_path / "m.jsonl").exists()
+
+
+def test_profiler_trace_hook(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.utils.observability import trace
+
+    monkeypatch.setenv("JAX_PROFILER_DIR", str(tmp_path / "prof"))
+    with trace("test"):
+        float(jnp.sum(jnp.ones((8, 8))))
+    import os
+
+    assert os.path.isdir(tmp_path / "prof")
