@@ -92,7 +92,8 @@ class FusionConfig:
     tau: float = 0.7  # binarization threshold on fused probability
     gamma: float = 0.8  # ray-pooling retention fraction
     adaptive_threshold: bool = False  # per-region tuned tau (baseline config 2)
-    adaptive_gamma_range: Tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9)
+    adaptive_taus: Tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    adaptive_target_density: float = 0.02  # occupancy the adaptive tau aims at
     # ray pooling implementation: "exact" (pixel-ray scatter-max raster) or
     # "affine" (sheared-slab approximation; ~100x cheaper on TPU, error
     # O(cube_extent / camera_distance) in ray assignment).

@@ -125,7 +125,7 @@ def prefilter_cubes(
     static_argnames=(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
-        "crop_hw",
+        "crop_hw", "adaptive_taus", "adaptive_target_density",
     ),
 )
 def cube_batch_step(
@@ -147,6 +147,8 @@ def cube_batch_step(
     n_pool_views: int = 6,
     ray_pool_mode: str = "exact",
     crop_hw: tuple = (192, 256),
+    adaptive_taus: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    adaptive_target_density: float = 0.02,
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -199,7 +201,8 @@ def cube_batch_step(
 
     if adaptive:
         taus = adaptive_threshold(
-            fused, jnp.linspace(0.3, 0.9, 7), target_density=0.02
+            fused, jnp.asarray(adaptive_taus),
+            target_density=adaptive_target_density,
         )
     else:
         taus = jnp.full((Nc,), tau, jnp.float32)
@@ -364,6 +367,8 @@ def run_sweep(
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
             crop_hw=crop_hw,
+            adaptive_taus=cfg.fusion.adaptive_taus,
+            adaptive_target_density=cfg.fusion.adaptive_target_density,
         )
 
     def harvest(b0, out):
