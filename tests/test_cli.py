@@ -51,3 +51,18 @@ def test_reconstruct_cli(tmp_path, small_scene):
 
     pts, colors = read_ply(out)
     assert len(pts) > 50
+
+
+def test_baseline_preset_files_load():
+    """The 5 BASELINE operating points ship as config files that round-trip."""
+    import glob
+    import os
+
+    from surfacenet_tpu.config import Config, baseline_config
+
+    files = sorted(glob.glob("configs/*.json"))
+    assert len(files) == 5
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        cfg = Config.from_json(open(f).read())
+        assert cfg == baseline_config(name), name
