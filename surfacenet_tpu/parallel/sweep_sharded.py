@@ -140,9 +140,13 @@ def run_sweep_sharded(
 
     t0 = time.perf_counter()
     n_processed = 0
-    while any(
-        cursors[b] < len(todo_blocks[b]) for b in range(n_block)
-    ):
+
+    def next_round():
+        """Assemble + dispatch one round (async); None when work is done."""
+        if not any(
+            cursors[b] < len(todo_blocks[b]) for b in range(n_block)
+        ):
+            return None
         # any real cube serves as padding filler (padded results discarded)
         filler = next(
             int(t[0]) for t in todo_blocks if len(t)
@@ -168,7 +172,7 @@ def run_sweep_sharded(
         r_origins = origins[flat].astype(np.float32)
         pair_idx, pair_w = pair_selector(Ps, r_origins)
 
-        occ, fused, color = cube_batch_step(
+        out = cube_batch_step(
             images_d,
             Ps_d,
             jax.device_put(jnp.asarray(r_origins), shard),
@@ -186,12 +190,13 @@ def run_sweep_sharded(
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
         )
-        occ = np.asarray(occ)
-        fused = np.asarray(fused)
-        color = np.asarray(color)
+        return r_grid, valid_counts, out
+
+    def harvest(r_grid, valid_counts, out):
+        nonlocal n_processed
+        occ, fused, color = (np.asarray(o) for o in out)
         stats.n_batches += 1
         stats.n_rounds += 1
-
         for b in range(n_block):
             base = b * per_block_round
             for i in range(valid_counts[b]):
@@ -204,6 +209,14 @@ def run_sweep_sharded(
                     )
                 )
                 n_processed += 1
+
+    # double-buffered: host-side harvest of round k overlaps the device
+    # compute of round k+1 (same pattern as pipeline/sweep.py).
+    pending = next_round()
+    while pending is not None:
+        nxt = next_round()
+        harvest(*pending)
+        pending = nxt
 
     stats.wall_s = time.perf_counter() - t0
     stats.cubes_per_s = (
