@@ -189,12 +189,18 @@ def run_sweep_sharded(
             use_pallas=cfg.sweep.use_pallas_gather,
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
+            compact_output=True,
         )
         return r_grid, valid_counts, out
 
     def harvest(r_grid, valid_counts, out):
         nonlocal n_processed
-        occ, fused, color = (np.asarray(o) for o in out)
+        occ_packed, fused_u8, color_u8 = (np.asarray(o) for o in out)
+        occ = np.unpackbits(
+            occ_packed, axis=-1, bitorder="big"
+        ).astype(bool).reshape(-1, D, D, D)
+        fused = fused_u8.astype(np.float32) / 255.0
+        color = color_u8.astype(np.float32) / 255.0
         stats.n_batches += 1
         stats.n_rounds += 1
         for b in range(n_block):

@@ -126,6 +126,7 @@ def prefilter_cubes(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
+        "compact_output",
     ),
 )
 def cube_batch_step(
@@ -149,6 +150,7 @@ def cube_batch_step(
     crop_hw: tuple = (192, 256),
     adaptive_taus: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     adaptive_target_density: float = 0.02,
+    compact_output: bool = False,
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -257,6 +259,21 @@ def cube_batch_step(
         )[..., None]
 
     color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
+    if compact_output:
+        # Device-side compaction: the device->host link is the sweep
+        # bottleneck on relay-attached TPUs (and host RAM churn elsewhere).
+        # occupancy bit-packs 8:1; prob/color quantize to uint8 (output
+        # precision anyway).  4x less transfer than raw f32 volumes.
+        occ_packed = jnp.packbits(
+            occ.reshape(Nc, -1), axis=-1, bitorder="big"
+        )
+        fused_u8 = jnp.round(
+            jnp.clip(fused, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        color_u8 = jnp.round(
+            jnp.clip(color, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        return occ_packed, fused_u8, color_u8
     return occ, fused, color
 
 
@@ -369,10 +386,16 @@ def run_sweep(
             crop_hw=crop_hw,
             adaptive_taus=cfg.fusion.adaptive_taus,
             adaptive_target_density=cfg.fusion.adaptive_target_density,
+            compact_output=True,
         )
 
     def harvest(b0, out):
-        occ, fused, color = (np.asarray(o) for o in out)
+        occ_packed, fused_u8, color_u8 = (np.asarray(o) for o in out)
+        occ = np.unpackbits(
+            occ_packed, axis=-1, bitorder="big"
+        ).astype(bool).reshape(-1, D, D, D)
+        fused = fused_u8.astype(np.float32) / 255.0
+        color = color_u8.astype(np.float32) / 255.0
         stats.n_batches += 1
         for i in range(min(B, n - b0)):
             gi = tuple(grid[b0 + i])
