@@ -195,12 +195,9 @@ def run_sweep_sharded(
 
     def harvest(r_grid, valid_counts, out):
         nonlocal n_processed
-        occ_packed, fused_u8, color_u8 = (np.asarray(o) for o in out)
-        occ = np.unpackbits(
-            occ_packed, axis=-1, bitorder="big"
-        ).astype(bool).reshape(-1, D, D, D)
-        fused = fused_u8.astype(np.float32) / 255.0
-        color = color_u8.astype(np.float32) / 255.0
+        from surfacenet_tpu.pipeline.sweep import unpack_compact
+
+        occ, fused, color = unpack_compact(np.asarray(out[0]), D)
         stats.n_batches += 1
         stats.n_rounds += 1
         for b in range(n_block):

@@ -263,19 +263,47 @@ def cube_batch_step(
         # Device-side compaction: the device->host link is the sweep
         # bottleneck on relay-attached TPUs (and host RAM churn elsewhere).
         # occupancy bit-packs 8:1; prob/color quantize to uint8 (output
-        # precision anyway).  4x less transfer than raw f32 volumes.
+        # precision anyway); everything concatenates into ONE uint8 buffer
+        # so the host pays a single transfer+sync per batch.  4x less
+        # transfer than raw f32 volumes.
         occ_packed = jnp.packbits(
             occ.reshape(Nc, -1), axis=-1, bitorder="big"
-        )
+        )  # (Nc, D^3/8)
         fused_u8 = jnp.round(
             jnp.clip(fused, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8)
+        ).astype(jnp.uint8).reshape(Nc, -1)
         color_u8 = jnp.round(
             jnp.clip(color, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8)
-        return occ_packed, fused_u8, color_u8
+        ).astype(jnp.uint8).reshape(Nc, -1)
+        return (
+            jnp.concatenate([occ_packed, fused_u8, color_u8], axis=-1),
+        )
     return occ, fused, color
 
+
+
+
+def unpack_compact(buf: np.ndarray, D: int):
+    """Host-side unpack of cube_batch_step's compact_output buffer.
+
+    Args:
+      buf: (Nc, D^3/8 + D^3 + 3*D^3) uint8.
+    Returns:
+      occ (Nc,D,D,D) bool, fused (Nc,D,D,D) f32, color (Nc,D,D,D,3) f32.
+    """
+    Nc = buf.shape[0]
+    d3 = D * D * D
+    nb = d3 // 8
+    occ = np.unpackbits(
+        buf[:, :nb], axis=-1, bitorder="big"
+    ).astype(bool).reshape(Nc, D, D, D)
+    fused = buf[:, nb : nb + d3].astype(np.float32).reshape(
+        Nc, D, D, D
+    ) / 255.0
+    color = buf[:, nb + d3 :].astype(np.float32).reshape(
+        Nc, D, D, D, 3
+    ) / 255.0
+    return occ, fused, color
 
 @dataclasses.dataclass
 class SweepStats:
@@ -390,12 +418,7 @@ def run_sweep(
         )
 
     def harvest(b0, out):
-        occ_packed, fused_u8, color_u8 = (np.asarray(o) for o in out)
-        occ = np.unpackbits(
-            occ_packed, axis=-1, bitorder="big"
-        ).astype(bool).reshape(-1, D, D, D)
-        fused = fused_u8.astype(np.float32) / 255.0
-        color = color_u8.astype(np.float32) / 255.0
+        occ, fused, color = unpack_compact(np.asarray(out[0]), D)
         stats.n_batches += 1
         for i in range(min(B, n - b0)):
             gi = tuple(grid[b0 + i])
