@@ -197,7 +197,9 @@ def run_sweep_sharded(
         nonlocal n_processed
         from surfacenet_tpu.pipeline.sweep import unpack_compact
 
-        occ, fused, color = unpack_compact(np.asarray(out[0]), D)
+        occ, fused, color = unpack_compact(
+            np.asarray(out[0]), np.asarray(out[1]), D
+        )
         stats.n_batches += 1
         stats.n_rounds += 1
         for b in range(n_block):

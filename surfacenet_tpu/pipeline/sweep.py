@@ -126,7 +126,7 @@ def prefilter_cubes(
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
-        "compact_output",
+        "compact_output", "compact_k",
     ),
 )
 def cube_batch_step(
@@ -151,6 +151,7 @@ def cube_batch_step(
     adaptive_taus: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     adaptive_target_density: float = 0.02,
     compact_output: bool = False,
+    compact_k: int = 4096,
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -260,50 +261,78 @@ def cube_batch_step(
 
     color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
     if compact_output:
-        # Device-side compaction: the device->host link is the sweep
-        # bottleneck on relay-attached TPUs (and host RAM churn elsewhere).
-        # occupancy bit-packs 8:1; prob/color quantize to uint8 (output
-        # precision anyway); everything concatenates into ONE uint8 buffer
-        # so the host pays a single transfer+sync per batch.  4x less
-        # transfer than raw f32 volumes.
-        occ_packed = jnp.packbits(
-            occ.reshape(Nc, -1), axis=-1, bitorder="big"
-        )  # (Nc, D^3/8)
-        fused_u8 = jnp.round(
-            jnp.clip(fused, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8).reshape(Nc, -1)
-        color_u8 = jnp.round(
-            jnp.clip(color, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8).reshape(Nc, -1)
-        return (
-            jnp.concatenate([occ_packed, fused_u8, color_u8], axis=-1),
+        # Device-side SPARSE compaction: thinned surfaces occupy ~0.3-5% of
+        # a cube, and the device->host link is the sweep bottleneck on
+        # relay-attached TPUs.  Per cube: the top compact_k voxels ranked
+        # occupied-first/highest-prob-first, as one uint8 record
+        # [idx_hi, idx_mid, idx_lo, prob, r, g, b] (7 bytes/voxel; 24-bit
+        # voxel index covers up to 256^3 cubes), plus the true occupied
+        # count.  ~10-30x less transfer than dense volumes; exact unless a
+        # cube has more than compact_k occupied voxels (count tells).
+        K = min(compact_k, D * D * D)
+        flat_occ = occ.reshape(Nc, -1)
+        flat_fused = fused.reshape(Nc, -1)
+        score = flat_occ.astype(jnp.float32) * 2.0 + flat_fused
+        _, top_idx = jax.lax.top_k(score, K)  # (Nc, K)
+        sel_occ = jnp.take_along_axis(flat_occ, top_idx, axis=-1)
+        sel_prob = jnp.take_along_axis(flat_fused, top_idx, axis=-1)
+        sel_color = jnp.take_along_axis(
+            color.reshape(Nc, -1, 3), top_idx[..., None], axis=1
         )
+        prob_u8 = jnp.round(
+            jnp.clip(sel_prob, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        color_u8 = jnp.round(
+            jnp.clip(sel_color, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        idx = top_idx.astype(jnp.uint32)
+        rec = jnp.stack(
+            [
+                (idx >> 16).astype(jnp.uint8),
+                ((idx >> 8) & 0xFF).astype(jnp.uint8),
+                (idx & 0xFF).astype(jnp.uint8),
+                jnp.where(sel_occ, prob_u8, 0),  # prob=0 marks padding
+            ],
+            axis=-1,
+        )  # (Nc, K, 4)
+        rec = jnp.concatenate([rec, color_u8], axis=-1)  # (Nc, K, 7)
+        counts = jnp.sum(flat_occ, axis=-1).astype(jnp.int32)
+        return rec, counts
     return occ, fused, color
 
 
 
 
-def unpack_compact(buf: np.ndarray, D: int):
-    """Host-side unpack of cube_batch_step's compact_output buffer.
+def unpack_compact(rec: np.ndarray, counts: np.ndarray, D: int):
+    """Host-side unpack of cube_batch_step's sparse compact_output.
 
     Args:
-      buf: (Nc, D^3/8 + D^3 + 3*D^3) uint8.
+      rec: (Nc, K, 7) uint8 [idx_hi, idx_mid, idx_lo, prob, r, g, b];
+        prob==0 marks padding records.
+      counts: (Nc,) int32 true occupied counts (> K indicates truncation).
     Returns:
       occ (Nc,D,D,D) bool, fused (Nc,D,D,D) f32, color (Nc,D,D,D,3) f32.
     """
-    Nc = buf.shape[0]
+    Nc = rec.shape[0]
     d3 = D * D * D
-    nb = d3 // 8
-    occ = np.unpackbits(
-        buf[:, :nb], axis=-1, bitorder="big"
-    ).astype(bool).reshape(Nc, D, D, D)
-    fused = buf[:, nb : nb + d3].astype(np.float32).reshape(
-        Nc, D, D, D
-    ) / 255.0
-    color = buf[:, nb + d3 :].astype(np.float32).reshape(
-        Nc, D, D, D, 3
-    ) / 255.0
-    return occ, fused, color
+    occ = np.zeros((Nc, d3), bool)
+    fused = np.zeros((Nc, d3), np.float32)
+    color = np.zeros((Nc, d3, 3), np.float32)
+    idx = (
+        rec[..., 0].astype(np.int64) << 16
+    ) | (rec[..., 1].astype(np.int64) << 8) | rec[..., 2].astype(np.int64)
+    prob = rec[..., 3].astype(np.float32) / 255.0
+    live = rec[..., 3] > 0
+    for c in range(Nc):
+        li = idx[c][live[c]]
+        occ[c][li] = True
+        fused[c][li] = prob[c][live[c]]
+        color[c][li] = rec[c, live[c], 4:7].astype(np.float32) / 255.0
+    return (
+        occ.reshape(Nc, D, D, D),
+        fused.reshape(Nc, D, D, D),
+        color.reshape(Nc, D, D, D, 3),
+    )
 
 @dataclasses.dataclass
 class SweepStats:
@@ -418,7 +447,9 @@ def run_sweep(
         )
 
     def harvest(b0, out):
-        occ, fused, color = unpack_compact(np.asarray(out[0]), D)
+        occ, fused, color = unpack_compact(
+            np.asarray(out[0]), np.asarray(out[1]), D
+        )
         stats.n_batches += 1
         for i in range(min(B, n - b0)):
             gi = tuple(grid[b0 + i])
