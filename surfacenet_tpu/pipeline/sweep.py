@@ -463,20 +463,21 @@ def run_sweep(
                 "occupancy_rate", float(occ.mean())
             )
 
-    # double-buffered: dispatch batch k+1 before harvesting k, so the
-    # host-side store/ledger work overlaps device compute.
+    # pipelined: keep a few batches in flight so host-side harvest (sync +
+    # transfer + store/ledger) overlaps device compute of later batches.
+    import collections
     import time as _time
 
+    DEPTH = 3
     t0 = _time.perf_counter()
     starts = list(range(0, n + n_pad, B))
-    pending = None
+    pending = collections.deque()
     for b0 in starts:
-        out = dispatch(b0)
-        if pending is not None:
-            harvest(*pending)
-        pending = (b0, out)
-    if pending is not None:
-        harvest(*pending)
+        pending.append((b0, dispatch(b0)))
+        if len(pending) > DEPTH:
+            harvest(*pending.popleft())
+    while pending:
+        harvest(*pending.popleft())
     if metrics is not None:
         wall = _time.perf_counter() - t0
         metrics.gauge("sweep_wall_s", wall)
