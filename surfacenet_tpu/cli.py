@@ -18,7 +18,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 
 def _apply_overrides(cfg, sets):

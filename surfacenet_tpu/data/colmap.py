@@ -16,7 +16,6 @@ Layout expected:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import warnings
 from typing import Dict, List, Optional, Tuple

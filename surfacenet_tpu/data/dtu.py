@@ -19,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 import glob
 import os
-import re
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -16,8 +16,6 @@ pre-transposed volumes and selects per item (3x a tiny cost).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

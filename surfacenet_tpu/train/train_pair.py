@@ -18,7 +18,7 @@ from flax.training import train_state
 
 from surfacenet_tpu.config import Config
 from surfacenet_tpu.data.synthetic import SyntheticScene
-from surfacenet_tpu.geometry.camera import in_frustum, project
+from surfacenet_tpu.geometry.camera import project
 from surfacenet_tpu.models.pairnet import PairNet, init_pairnet, triplet_loss
 
 

@@ -14,9 +14,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Iterator, Optional, Tuple
+from typing import Any, Optional, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +24,6 @@ from flax.training import train_state
 
 from surfacenet_tpu.config import Config
 from surfacenet_tpu.data.synthetic import SyntheticScene
-from surfacenet_tpu.geometry.camera import voxel_centers
 from surfacenet_tpu.models.surfacenet import SurfaceNet, init_surfacenet
 from surfacenet_tpu.ops.cvc import build_cvc_batch
 from surfacenet_tpu.train.losses import class_balanced_bce

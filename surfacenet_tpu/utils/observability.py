@@ -20,8 +20,6 @@ import os
 import time
 from typing import Dict, Optional
 
-import numpy as np
-
 from surfacenet_tpu.config import ModelConfig
 
 # bf16 peak TFLOP/s per chip by TPU generation (public figures).
