@@ -18,6 +18,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 
 
 def _apply_overrides(cfg, sets):
@@ -69,9 +71,17 @@ def cmd_reconstruct(args):
         scan = load_colmap_scan(args.scan, downsample=args.downsample)
     else:
         scan = load_scan(args.scan, downsample=args.downsample)
+    if args.bbox:
+        vals = [float(v) for v in args.bbox.split(",")]
+        scan.bbox_min = np.asarray(vals[:3])
+        scan.bbox_max = np.asarray(vals[3:])
     if scan.bbox_min is None:
-        raise SystemExit(
-            "scan has no bbox.txt; pass one or add it to the scan dir"
+        from surfacenet_tpu.geometry.camera import estimate_bbox_from_cameras
+
+        scan.bbox_min, scan.bbox_max = estimate_bbox_from_cameras(scan.Ps)
+        print(
+            f"no bbox given; estimated from cameras: "
+            f"{np.round(scan.bbox_min, 1)} .. {np.round(scan.bbox_max, 1)}"
         )
 
     if args.checkpoint:
@@ -192,6 +202,7 @@ def main(argv=None):
     pr.add_argument("--colmap", action="store_true",
                     help="scan dir is a COLMAP sparse model")
     pr.add_argument("--out", default="out.ply")
+    pr.add_argument("--bbox", help="x0,y0,z0,x1,y1,z1 (mm); default: estimate from cameras")
     pr.add_argument("--checkpoint")
     pr.add_argument("--ledger")
     pr.add_argument("--downsample", type=int, default=1)

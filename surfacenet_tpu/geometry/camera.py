@@ -184,6 +184,56 @@ def cube_visible(
     return jnp.moveaxis(vis, 0, -1)
 
 
+def estimate_bbox_from_cameras(
+    Ps: np.ndarray,
+    size_factor: float = 0.6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Estimate a scene bbox from calibrated cameras alone.
+
+    The reference hardcodes per-dataset bounding boxes; when none is given
+    we use the cameras' geometry: all principal rays (optical axes) of a
+    capture rig converge near the scanned object, so the least-squares
+    closest point to all principal rays is a robust scene center, and the
+    median camera-to-center distance sets the scale.
+
+    Args:
+      Ps: (V, 3, 4) projection matrices.
+      size_factor: bbox half-side as a fraction of the median camera
+        distance (0.6 comfortably covers DTU-style table-top rigs).
+
+    Returns:
+      (bbox_min, bbox_max) as (3,) float64 arrays.
+    """
+    Ps = np.asarray(Ps, np.float64)
+    centers = []
+    dirs = []
+    for P in Ps:
+        M = P[:, :3]
+        c = -np.linalg.solve(M, P[:, 3])
+        # principal ray: third row of M points along the optical axis
+        d = M[2] / np.linalg.norm(M[2])
+        if np.linalg.det(M) < 0:
+            d = -d
+        centers.append(c)
+        dirs.append(d)
+    centers = np.stack(centers)
+    dirs = np.stack(dirs)
+
+    # least-squares point closest to all lines c_i + t d_i:
+    # sum_i (I - d d^T) x = sum_i (I - d d^T) c
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for c, d in zip(centers, dirs):
+        Pm = np.eye(3) - np.outer(d, d)
+        A += Pm
+        b += Pm @ c
+    target = np.linalg.solve(A, b)
+
+    dist = np.median(np.linalg.norm(centers - target, axis=1))
+    half = size_factor * dist / 2.0
+    return target - half, target + half
+
+
 def voxel_centers(origin: jnp.ndarray, D: int, s: float) -> jnp.ndarray:
     """World coordinates of the D^3 voxel centers of a cube.
 

@@ -93,3 +93,14 @@ def test_cube_visible(small_scene):
         cube_visible(Ps, jnp.array([[4000.0, 4000.0, 4000.0]]), 10.0, hw)
     )
     assert not vis2.any()
+
+
+def test_estimate_bbox_from_cameras(small_scene):
+    from surfacenet_tpu.geometry.camera import estimate_bbox_from_cameras
+
+    lo, hi = estimate_bbox_from_cameras(small_scene.Ps)
+    # cameras all look at the origin: estimated center must be near it
+    center = (lo + hi) / 2
+    assert np.linalg.norm(center) < 10.0
+    # box must contain the sphere (radius 30)
+    assert (lo < -25).all() and (hi > 25).all()
