@@ -172,6 +172,74 @@ def cmd_selftest(args):
     )
 
 
+def cmd_reconstruct_all(args):
+    """Batch reconstruction over an eval split (BASELINE config 3).
+
+    Each scan directory under --root (or listed via --scans) is swept with
+    the shared config/checkpoint; per-scan .ply + metrics land in --out-dir
+    (per-scan ledger files make the whole split restartable).
+    """
+    import glob
+    import json as _json
+    import time
+
+    cfg = _load_config(args)
+    scan_dirs = (
+        args.scans if args.scans
+        else sorted(glob.glob(os.path.join(args.root, "scan*")))
+    )
+    if not scan_dirs:
+        raise SystemExit("no scans found")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from surfacenet_tpu.data.dtu import load_scan
+    from surfacenet_tpu.geometry.camera import estimate_bbox_from_cameras
+    from surfacenet_tpu.pipeline.sweep import (
+        photoconsistency_predictor, run_sweep,
+    )
+
+    predictor = photoconsistency_predictor
+    if args.checkpoint:
+        from surfacenet_tpu.models.surfacenet import SurfaceNet
+        from surfacenet_tpu.train.train_surface import restore_checkpoint
+
+        state, step = restore_checkpoint(args.checkpoint, cfg)
+        model = SurfaceNet(cfg.model)
+        variables = {
+            "params": state.params, "batch_stats": state.batch_stats,
+        }
+
+        def predictor(x, origins):
+            return model.apply(variables, x, train=False)
+
+    report = {}
+    for sd in scan_dirs:
+        name = os.path.basename(os.path.normpath(sd))
+        scan = load_scan(sd, downsample=args.downsample)
+        if scan.bbox_min is None:
+            scan.bbox_min, scan.bbox_max = estimate_bbox_from_cameras(
+                scan.Ps
+            )
+        t0 = time.perf_counter()
+        store, stats = run_sweep(
+            scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+            predictor,
+            ledger_path=os.path.join(args.out_dir, f"{name}.ledger.jsonl"),
+        )
+        out_ply = os.path.join(args.out_dir, f"{name}.ply")
+        n = store.export_ply(out_ply)
+        dt = time.perf_counter() - t0
+        report[name] = {
+            "points": n,
+            "cubes": stats.n_cubes_after_prefilter,
+            "seconds": round(dt, 2),
+        }
+        print(f"{name}: {n} points, {stats.n_cubes_after_prefilter} cubes, "
+              f"{dt:.1f}s -> {out_ply}")
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        _json.dump(report, f, indent=2)
+
+
 def cmd_eval(args):
     """DTU-protocol-style evaluation: predicted .ply vs GT points .ply."""
     from surfacenet_tpu.utils.metrics import accuracy_completeness
@@ -221,6 +289,19 @@ def main(argv=None):
     pt.add_argument("--config")
     pt.add_argument("--set", action="append")
     pt.set_defaults(fn=cmd_train)
+
+    pa = sub.add_parser(
+        "reconstruct-all", help="sweep every scan of an eval split"
+    )
+    pa.add_argument("--root", help="directory containing scan*/ dirs")
+    pa.add_argument("--scans", nargs="*", help="explicit scan dirs")
+    pa.add_argument("--out-dir", default="results")
+    pa.add_argument("--checkpoint")
+    pa.add_argument("--downsample", type=int, default=1)
+    pa.add_argument("--preset")
+    pa.add_argument("--config")
+    pa.add_argument("--set", action="append")
+    pa.set_defaults(fn=cmd_reconstruct_all)
 
     ps = sub.add_parser("selftest", help="synthetic golden-scene run")
     ps.set_defaults(fn=cmd_selftest)

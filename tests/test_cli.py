@@ -66,3 +66,33 @@ def test_baseline_preset_files_load():
         name = os.path.splitext(os.path.basename(f))[0]
         cfg = Config.from_json(open(f).read())
         assert cfg == baseline_config(name), name
+
+
+def test_reconstruct_all_cli(tmp_path, small_scene):
+    from surfacenet_tpu.data.dtu import write_scan
+
+    for name in ["scan1", "scan2"]:
+        write_scan(
+            str(tmp_path / name), small_scene.images, small_scene.Ps,
+            small_scene.bbox_min, small_scene.bbox_max,
+        )
+    out_dir = str(tmp_path / "out")
+    main(
+        [
+            "reconstruct-all", "--root", str(tmp_path), "--out-dir", out_dir,
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    import json
+    import os
+
+    rep = json.load(open(os.path.join(out_dir, "report.json")))
+    assert set(rep) == {"scan1", "scan2"}
+    for name in rep:
+        assert os.path.exists(os.path.join(out_dir, f"{name}.ply"))
+        assert rep[name]["points"] > 0
