@@ -30,6 +30,8 @@ def _apply_overrides(cfg, sets):
             val = json.loads(raw)
         except json.JSONDecodeError:
             val = raw
+        if isinstance(val, list):
+            val = tuple(val)  # config fields are hashable tuples
         node = cfg
         parents = []
         for k in keys[:-1]:
@@ -127,13 +129,17 @@ def cmd_train(args):
 
     cfg = _load_config(args)
     if args.scan:
-        # DTU training needs GT point clouds; wire the scan-backed sampler
-        # here when GT data is present.
-        raise SystemExit(
-            "DTU-scan training requires GT points; only synthetic training "
-            "is wired in this build (use --synthetic)"
-        )
-    scene = make_sphere_scene(n_views=8, hw=(240, 320))
+        if not args.gt:
+            raise SystemExit(
+                "--scan training needs --gt pointing at the GT point-cloud "
+                ".ply (DTU reference scan)"
+            )
+        from surfacenet_tpu.data.scene import PointCloudScene
+
+        scan = load_scan(args.scan, downsample=args.downsample)
+        scene = PointCloudScene.from_scan(scan, args.gt)
+    else:
+        scene = make_sphere_scene(n_views=8, hw=(240, 320))
     state, log = train_surfacenet(
         scene, cfg, n_steps=args.steps,
         checkpoint_dir=args.checkpoint_dir, log_every=args.log_every,
@@ -281,6 +287,8 @@ def main(argv=None):
 
     pt = sub.add_parser("train", help="train SurfaceNet")
     pt.add_argument("--scan")
+    pt.add_argument("--gt", help="GT point-cloud .ply for --scan training")
+    pt.add_argument("--downsample", type=int, default=1)
     pt.add_argument("--synthetic", action="store_true")
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--checkpoint-dir", default="checkpoints")

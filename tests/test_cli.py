@@ -96,3 +96,28 @@ def test_reconstruct_all_cli(tmp_path, small_scene):
     for name in rep:
         assert os.path.exists(os.path.join(out_dir, f"{name}.ply"))
         assert rep[name]["points"] > 0
+
+
+def test_train_cli_with_scan_and_gt(tmp_path, small_scene):
+    from surfacenet_tpu.data.dtu import write_scan
+    from surfacenet_tpu.utils.ply import write_ply
+
+    scan_dir = str(tmp_path / "scanT")
+    write_scan(scan_dir, small_scene.images, small_scene.Ps,
+               small_scene.bbox_min, small_scene.bbox_max)
+    gt = str(tmp_path / "gt.ply")
+    write_ply(gt, small_scene.surface_points(2000))
+    main(
+        [
+            "train", "--scan", scan_dir, "--gt", gt, "--steps", "3",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", 'model.block_channels=[8,12,16,16]',
+            "--set", 'model.convs_per_block=[1,1,1,1]',
+            "--set", "model.side_channels=4",
+            "--set", 'model.dtype="float32"',
+            "--set", "train.batch_size=4",
+        ]
+    )
