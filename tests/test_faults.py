@@ -70,3 +70,61 @@ def test_assert_all_finite():
     bad = {"a": jnp.asarray([1.0, float("nan")])}
     with pytest.raises(FloatingPointError, match="non-finite"):
         assert_all_finite(bad, "params")
+
+
+def test_crash_mid_sweep_then_resume(tmp_path, request):
+    """Simulate a host crash part-way through a sharded sweep: the process
+    dies after some rounds; a fresh run resumes from the block ledgers and
+    produces the complete result without redoing finished cubes."""
+    small_scene = request.getfixturevalue("small_scene")
+    import surfacenet_tpu.parallel.sweep_sharded as mod
+    from surfacenet_tpu.config import (
+        Config, FusionConfig, SweepConfig, VoxelConfig,
+    )
+    from surfacenet_tpu.parallel.mesh import make_mesh
+    from surfacenet_tpu.pipeline.sweep import photoconsistency_predictor
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        fusion=FusionConfig(n_view_pairs=2, tau=0.3, gamma=0.6),
+        sweep=SweepConfig(cube_batch=2),
+    )
+    mesh = make_mesh(n_block=2)
+    ledger_dir = str(tmp_path)
+
+    # crash injection: let 3 rounds complete, then die
+    real_step = mod.cube_batch_step
+    calls = {"n": 0}
+
+    def crashing_step(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("injected host crash")
+        return real_step(*a, **k)
+
+    mod.cube_batch_step = crashing_step
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            mod.run_sweep_sharded(
+                small_scene.images, small_scene.Ps,
+                small_scene.bbox_min, small_scene.bbox_max,
+                cfg, photoconsistency_predictor, mesh=mesh,
+                ledger_dir=ledger_dir,
+            )
+    finally:
+        mod.cube_batch_step = real_step
+
+    # some cubes were persisted before the crash
+    import glob
+
+    assert glob.glob(ledger_dir + "/block_*.jsonl")
+
+    # resume completes the sweep; fewer rounds than a fresh run would need
+    store, stats = mod.run_sweep_sharded(
+        small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+        cfg, photoconsistency_predictor, mesh=mesh, ledger_dir=ledger_dir,
+    )
+    assert len(store.done_set()) == stats.n_cubes_after_prefilter
+    pts, _, _ = store.merge()
+    assert len(pts) > 0
