@@ -82,7 +82,10 @@ def run_sweep_sharded(
     from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
 
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_mesh(
+            n_block=cfg.mesh.block_axis,
+            axis_names=cfg.mesh.axis_names,
+        )
     n_block, n_cube = mesh.devices.shape
     per_round = cfg.sweep.cube_batch * n_block * n_cube
 
