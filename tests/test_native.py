@@ -67,3 +67,27 @@ def test_native_merge_direct():
     assert len(c) == 2
     i = int(np.where((c == 0).all(axis=1))[0][0])
     assert abs(p[i] - 0.6) < 1e-6  # averaged duplicate
+
+
+def test_native_merge_scales():
+    """1M-record merge completes fast and matches numpy on counts."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    coords = rng.integers(0, 200, (n, 3)).astype(np.int64)
+    probs = rng.uniform(0.5, 1, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    done = np.stack(
+        np.meshgrid(*([np.arange(40)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int64)
+
+    t0 = time.perf_counter()
+    out = native_merge(coords, probs, colors, done, stride=6, D=8,
+                       vote_threshold=0.0)
+    dt = time.perf_counter() - t0
+    assert out is not None
+    c, p, col = out
+    # all unique coords survive at vote 0
+    assert len(c) == len(np.unique(coords, axis=0))
+    assert dt < 30.0, f"native merge too slow: {dt:.1f}s"
