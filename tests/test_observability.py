@@ -82,3 +82,21 @@ def test_profiler_trace_hook(tmp_path, monkeypatch):
     import os
 
     assert os.path.isdir(tmp_path / "prof")
+
+
+def test_viz_splat(tmp_path, request):
+    small_scene = request.getfixturevalue("small_scene")
+    import numpy as np
+
+    from surfacenet_tpu.utils.viz import save_turntable, splat_orthographic
+
+    pts = small_scene.surface_points(2000)
+    img = splat_orthographic(pts)
+    assert img.shape == (512, 512, 3)
+    assert img.any()  # something rendered
+    paths = save_turntable(str(tmp_path / "view"), pts)
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+    # empty cloud doesn't crash
+    assert splat_orthographic(np.zeros((0, 3))).sum() == 0
