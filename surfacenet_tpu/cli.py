@@ -75,6 +75,11 @@ def cmd_reconstruct(args):
         scan = load_scan(args.scan, downsample=args.downsample)
     if args.bbox:
         vals = [float(v) for v in args.bbox.split(",")]
+        if len(vals) != 6:
+            raise SystemExit(
+                f"--bbox needs 6 comma-separated numbers "
+                f"(x0,y0,z0,x1,y1,z1), got {len(vals)}"
+            )
         scan.bbox_min = np.asarray(vals[:3])
         scan.bbox_max = np.asarray(vals[3:])
     if scan.bbox_min is None:
