@@ -93,22 +93,29 @@ def cmd_reconstruct(args):
 
     if args.checkpoint:
         from surfacenet_tpu.models.surfacenet import SurfaceNet
-        from surfacenet_tpu.train.train_surface import restore_checkpoint
+        from surfacenet_tpu.train.train_surface import (
+            load_pretrained, restore_checkpoint,
+        )
 
-        state, step = restore_checkpoint(args.checkpoint, cfg)
-        model = SurfaceNet(cfg.model)
+        if os.path.isdir(
+            os.path.join(args.checkpoint, "params")
+        ) or os.path.exists(
+            os.path.join(args.checkpoint, "_CHECKPOINT_METADATA")
+        ):
+            # params-only inference checkpoint (e.g. shipped weights/)
+            model, variables = load_pretrained(args.checkpoint, cfg)
+            print(f"using pretrained weights {args.checkpoint}")
+        else:
+            state, step = restore_checkpoint(args.checkpoint, cfg)
+            model = SurfaceNet(cfg.model)
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+            print(f"using checkpoint step {step}")
 
         def predictor(x, origins):
-            return model.apply(
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                },
-                x,
-                train=False,
-            )
-
-        print(f"using checkpoint step {step}")
+            return model.apply(variables, x, train=False)
     else:
         predictor = photoconsistency_predictor
         print("no checkpoint: using photoconsistency predictor")

@@ -238,6 +238,32 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
     ckptr.wait_until_finished()
 
 
+def load_pretrained(path: str, cfg: Config):
+    """Load a params-only inference checkpoint (SURVEY.md C13).
+
+    The repo ships ``weights/golden_sphere_12k`` (trained on the synthetic
+    golden scene — the published-weights role of the reference's download
+    scripts, which cannot be fetched in this offline environment).
+
+    Returns (model, variables) ready for ``model.apply(variables, x)``.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from surfacenet_tpu.models.surfacenet import SurfaceNet, init_surfacenet
+
+    model, fresh = init_surfacenet(cfg.model, jax.random.PRNGKey(0),
+                                   D=cfg.voxel.cube_size)
+    template = {
+        "params": fresh["params"],
+        "batch_stats": fresh.get("batch_stats", {}),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    return model, restored
+
+
 def restore_checkpoint(
     ckpt_dir: str, cfg: Config, step: Optional[int] = None
 ) -> Tuple[TrainState, int]:

@@ -120,3 +120,29 @@ def test_pairnet_checkpoint_roundtrip(tmp_path, small_scene):
         jax.tree_util.tree_leaves(restored["params"]),
     ):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_load_pretrained_shipped_weights():
+    """The repo-shipped golden-sphere weights load and run."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.config import Config, ModelConfig, VoxelConfig
+    from surfacenet_tpu.train.train_surface import load_pretrained
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "golden_sphere_12k")
+    if not os.path.isdir(path):
+        import pytest
+
+        pytest.skip("shipped weights not present")
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=0.5, cube_size=32, overlap=8),
+        model=ModelConfig(),
+    )
+    model, variables = load_pretrained(path, cfg)
+    x = jnp.zeros((1, 32, 32, 32, 6))
+    p = model.apply(variables, x, train=False)
+    assert p.shape == (1, 32, 32, 32)
