@@ -57,14 +57,69 @@ def _load_config(args):
     return _apply_overrides(cfg, getattr(args, "set", None))
 
 
-def cmd_reconstruct(args):
-    import jax
+def _load_predictor(checkpoint, cfg):
+    """Predictor from a checkpoint path: accepts both params-only inference
+    weights (e.g. the shipped ``weights/``) and full training-state
+    checkpoint dirs; falls back to the photoconsistency oracle when None."""
+    from surfacenet_tpu.pipeline.sweep import photoconsistency_predictor
 
-    from surfacenet_tpu.data.dtu import load_scan
-    from surfacenet_tpu.pipeline.sweep import (
-        photoconsistency_predictor,
-        run_sweep,
+    if not checkpoint:
+        print("no checkpoint: using photoconsistency predictor")
+        return photoconsistency_predictor
+
+    from surfacenet_tpu.models.surfacenet import SurfaceNet
+    from surfacenet_tpu.train.train_surface import (
+        load_pretrained, restore_checkpoint,
     )
+
+    if os.path.isdir(
+        os.path.join(checkpoint, "params")
+    ) or os.path.exists(os.path.join(checkpoint, "_CHECKPOINT_METADATA")):
+        model, variables = load_pretrained(checkpoint, cfg)
+        print(f"using pretrained weights {checkpoint}")
+    else:
+        state, step = restore_checkpoint(checkpoint, cfg)
+        model = SurfaceNet(cfg.model)
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        print(f"using checkpoint step {step}")
+
+    def predictor(x, origins):
+        return model.apply(variables, x, train=False)
+
+    return predictor
+
+
+def _make_pair_selector(pairnet_dir, cfg, scan):
+    """Learned pair selector from a trained pairnet checkpoint, or None."""
+    if not pairnet_dir:
+        return None
+    import functools
+
+    from surfacenet_tpu.ops.view_pairs import (
+        select_pairs_learned, view_similarity_from_scene,
+    )
+    from surfacenet_tpu.train.train_pair import restore_pairnet
+
+    model, variables = restore_pairnet(pairnet_dir, cfg)
+    sim = view_similarity_from_scene(
+        scan.images, scan.Ps, scan.bbox_min, scan.bbox_max,
+        model, variables, cfg.pairnet.patch_size,
+    )
+    print(f"using learned pair weights from {pairnet_dir}")
+    return functools.partial(
+        select_pairs_learned,
+        n_pairs=cfg.fusion.n_view_pairs,
+        image_hw=scan.images.shape[1:3],
+        extent_mm=cfg.voxel.cube_extent_mm,
+        similarity=sim,
+    )
+
+
+def cmd_reconstruct(args):
+    from surfacenet_tpu.data.dtu import load_scan
 
     cfg = _load_config(args)
     if args.colmap:
@@ -91,39 +146,35 @@ def cmd_reconstruct(args):
             f"{np.round(scan.bbox_min, 1)} .. {np.round(scan.bbox_max, 1)}"
         )
 
-    if args.checkpoint:
-        from surfacenet_tpu.models.surfacenet import SurfaceNet
-        from surfacenet_tpu.train.train_surface import (
-            load_pretrained, restore_checkpoint,
-        )
-
-        if os.path.isdir(
-            os.path.join(args.checkpoint, "params")
-        ) or os.path.exists(
-            os.path.join(args.checkpoint, "_CHECKPOINT_METADATA")
-        ):
-            # params-only inference checkpoint (e.g. shipped weights/)
-            model, variables = load_pretrained(args.checkpoint, cfg)
-            print(f"using pretrained weights {args.checkpoint}")
-        else:
-            state, step = restore_checkpoint(args.checkpoint, cfg)
-            model = SurfaceNet(cfg.model)
-            variables = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }
-            print(f"using checkpoint step {step}")
-
-        def predictor(x, origins):
-            return model.apply(variables, x, train=False)
-    else:
-        predictor = photoconsistency_predictor
-        print("no checkpoint: using photoconsistency predictor")
-
-    store, stats = run_sweep(
-        scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
-        predictor, ledger_path=args.ledger,
+    predictor = _load_predictor(args.checkpoint, cfg)
+    pair_selector = _make_pair_selector(
+        getattr(args, "pairnet", None), cfg, scan
     )
+
+    sharded = args.sharded or cfg.mesh.block_axis > 1
+    if sharded:
+        from surfacenet_tpu.parallel.distributed import init_distributed
+        from surfacenet_tpu.parallel.sweep_sharded import run_sweep_sharded
+
+        init_distributed()
+        store, stats = run_sweep_sharded(
+            scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+            predictor, pair_selector=pair_selector,
+            ledger_dir=args.ledger,
+        )
+        print(
+            f"sharded sweep: {stats.n_rounds} rounds, "
+            f"{stats.cubes_per_s:.1f} cubes/s, "
+            f"per-block cubes {stats.per_block_cubes}"
+        )
+    else:
+        from surfacenet_tpu.pipeline.sweep import run_sweep
+
+        store, stats = run_sweep(
+            scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+            predictor, pair_selector=pair_selector,
+            ledger_path=args.ledger,
+        )
     n = store.export_ply(args.out)
     print(
         f"wrote {n} points to {args.out}; "
@@ -159,6 +210,35 @@ def cmd_train(args):
     print(
         f"trained {args.steps} steps; loss {log.losses[0]:.4f} -> "
         f"{log.losses[-1]:.4f}"
+    )
+
+
+def cmd_train_pairnet(args):
+    """Triplet training of the view-pair weighting net (SURVEY.md C12)."""
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.train.train_pair import save_pairnet, train_pairnet
+
+    cfg = _load_config(args)
+    if args.scan:
+        if not args.gt:
+            raise SystemExit(
+                "--scan training needs --gt pointing at the GT point-cloud"
+            )
+        from surfacenet_tpu.data.dtu import load_scan
+        from surfacenet_tpu.data.scene import PointCloudScene
+
+        scan = load_scan(args.scan, downsample=args.downsample)
+        scene = PointCloudScene.from_scan(scan, args.gt)
+    else:
+        scene = make_sphere_scene(n_views=8, hw=(240, 320))
+    model, variables, losses = train_pairnet(
+        scene, cfg, n_steps=args.steps, lr=args.lr
+    )
+    save_pairnet(args.checkpoint_dir, variables, step=args.steps)
+    print(
+        f"trained pairnet {args.steps} steps; loss {losses[0]:.4f} -> "
+        f"{losses[-1]:.4f}; saved to "
+        f"{args.checkpoint_dir}/pairnet_{args.steps}"
     )
 
 
@@ -212,23 +292,9 @@ def cmd_reconstruct_all(args):
 
     from surfacenet_tpu.data.dtu import load_scan
     from surfacenet_tpu.geometry.camera import estimate_bbox_from_cameras
-    from surfacenet_tpu.pipeline.sweep import (
-        photoconsistency_predictor, run_sweep,
-    )
+    from surfacenet_tpu.pipeline.sweep import run_sweep
 
-    predictor = photoconsistency_predictor
-    if args.checkpoint:
-        from surfacenet_tpu.models.surfacenet import SurfaceNet
-        from surfacenet_tpu.train.train_surface import restore_checkpoint
-
-        state, step = restore_checkpoint(args.checkpoint, cfg)
-        model = SurfaceNet(cfg.model)
-        variables = {
-            "params": state.params, "batch_stats": state.batch_stats,
-        }
-
-        def predictor(x, origins):
-            return model.apply(variables, x, train=False)
+    predictor = _load_predictor(args.checkpoint, cfg)
 
     report = {}
     for sd in scan_dirs:
@@ -290,6 +356,12 @@ def main(argv=None):
     pr.add_argument("--out", default="out.ply")
     pr.add_argument("--bbox", help="x0,y0,z0,x1,y1,z1 (mm); default: estimate from cameras")
     pr.add_argument("--checkpoint")
+    pr.add_argument("--pairnet",
+                    help="trained pairnet checkpoint dir -> learned pair "
+                         "weights (default: geometric selector)")
+    pr.add_argument("--sharded", action="store_true",
+                    help="mesh-sharded sweep (auto when mesh.block_axis>1); "
+                         "--ledger is then a directory of per-block ledgers")
     pr.add_argument("--ledger")
     pr.add_argument("--downsample", type=int, default=1)
     pr.add_argument("--preset")
@@ -301,7 +373,6 @@ def main(argv=None):
     pt.add_argument("--scan")
     pt.add_argument("--gt", help="GT point-cloud .ply for --scan training")
     pt.add_argument("--downsample", type=int, default=1)
-    pt.add_argument("--synthetic", action="store_true")
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--checkpoint-dir", default="checkpoints")
     pt.add_argument("--log-every", type=int, default=50)
@@ -309,6 +380,20 @@ def main(argv=None):
     pt.add_argument("--config")
     pt.add_argument("--set", action="append")
     pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser(
+        "train-pairnet", help="triplet-train the view-pair weighting net"
+    )
+    pp.add_argument("--scan")
+    pp.add_argument("--gt", help="GT point-cloud .ply for --scan training")
+    pp.add_argument("--downsample", type=int, default=1)
+    pp.add_argument("--steps", type=int, default=2000)
+    pp.add_argument("--lr", type=float, default=1e-3)
+    pp.add_argument("--checkpoint-dir", default="checkpoints")
+    pp.add_argument("--preset")
+    pp.add_argument("--config")
+    pp.add_argument("--set", action="append")
+    pp.set_defaults(fn=cmd_train_pairnet)
 
     pa = sub.add_parser(
         "reconstruct-all", help="sweep every scan of an eval split"

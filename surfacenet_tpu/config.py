@@ -109,8 +109,13 @@ class SweepConfig:
     prefilter: bool = True  # frustum/content prefilter before batching
     min_views_visible: int = 2  # cube must fall inside >= this many frusta
     # Pallas warp-gather kernel for CVC construction (TPU only; the XLA
-    # gather path is the oracle and the CPU/test default).
+    # gather path is the oracle and the CPU/test default).  Sweeps downgrade
+    # this automatically when the backend is CPU.
     use_pallas_gather: bool = False
+    # Sparse device->host records per cube; <= 0 means auto-scale with the
+    # cube size (max(4096, 4*D^2)).  Harvest re-fetches dense when a cube's
+    # true occupied count exceeds this, so no setting loses voxels.
+    compact_k: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,9 +193,18 @@ class Config:
         )
 
 
-# The five BASELINE.json operating points, as named presets.
+# The five BASELINE.json operating points, as named presets.  All presets
+# enable the flagship TPU kernels (Pallas warp gather + Pallas affine ray
+# pooling); sweeps downgrade them automatically on CPU backends
+# (pipeline.sweep.resolve_backend_config), so the same files drive both.
 def baseline_config(name: str) -> Config:
     base = Config()
+    base = base.replace(
+        sweep=dataclasses.replace(base.sweep, use_pallas_gather=True),
+        fusion=dataclasses.replace(
+            base.fusion, ray_pool_mode="affine_pallas"
+        ),
+    )
     if name == "dtu9_single":  # config 1: 2-view CVC, 32^3, single threshold
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=32),
@@ -209,11 +223,14 @@ def baseline_config(name: str) -> Config:
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=64),
         )
-    if name == "highres_sharded":  # config 4: s=0.2mm multi-host sweep
+    if name == "highres_sharded":  # config 4: s=0.2mm multi-host sweep —
+        # block_axis=2 shards the scene spatially; reconstruct routes it
+        # through run_sweep_sharded (cli auto-detects block_axis > 1).
         return base.replace(
             voxel=dataclasses.replace(
                 base.voxel, voxel_size_mm=0.2, cube_size=64
             ),
+            mesh=dataclasses.replace(base.mesh, block_axis=2),
         )
     if name == "tanks_temples":  # config 5: stretch, COLMAP poses
         return base.replace(

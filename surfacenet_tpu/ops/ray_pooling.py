@@ -203,6 +203,7 @@ def ray_pool(
     raster_size: int = 128,
     auto_scale: bool = True,
     mode: str = "exact",
+    view_mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full thinning for one cube.  mode: "exact" (scatter-max raster) or
     "affine" (sheared-slab approximation, ~100x cheaper on TPU).
@@ -214,6 +215,9 @@ def ray_pool(
       tau: binarization threshold (scalar or per-cube from
         fusion.adaptive_threshold).
       gamma: retention fraction over views.
+      view_mask: optional (Vr,) bool; False marks padding slots (duplicate
+        views from static-shape dedup) that must not vote nor count toward
+        the gamma denominator.
 
     Returns:
       occupancy: (D, D, D) bool thin surface voxels.
@@ -229,8 +233,12 @@ def ray_pool(
                 prob, origin, s, P, raster_size, auto_scale
             )
         )(Ps)
+    if view_mask is not None:
+        masks = masks & view_mask[:, None, None, None]
+        n_views = jnp.sum(view_mask.astype(jnp.int32))
+    else:
+        n_views = Ps.shape[0]
     votes = jnp.sum(masks.astype(jnp.int32), axis=0)
-    n_views = Ps.shape[0]
     need = jnp.maximum(jnp.ceil(gamma * n_views).astype(jnp.int32), 1)
     occ = (votes >= need) & (prob > tau)
     return occ, votes

@@ -105,6 +105,59 @@ def select_pairs_geometric(
     return np.asarray(sel), np.asarray(w)
 
 
+def view_similarity_from_scene(
+    images: np.ndarray,
+    Ps: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    model,
+    variables,
+    patch_size: int,
+    n_points: int = 16,
+    seed: int = 0,
+) -> np.ndarray:
+    """Build the (V, V) learned view-similarity matrix for a scene.
+
+    Samples probe points uniformly in the scene bbox, extracts the patch
+    around each point's projection in every view, embeds the patches with
+    the triplet net, and averages pairwise embedding similarity over probes
+    (models/pairnet.view_similarity_matrix).  This is the production home of
+    the sampling that previously lived only in test code: reconstruction
+    has no GT surface, so bbox-uniform probes stand in for surface points —
+    views that image the same scene region similarly still score high.
+    """
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.geometry.camera import project
+    from surfacenet_tpu.models.pairnet import view_similarity_matrix
+    from surfacenet_tpu.train.train_pair import extract_patches
+
+    rng = np.random.default_rng(seed)
+    V = Ps.shape[0]
+    pts = rng.uniform(
+        np.asarray(bbox_min, np.float64),
+        np.asarray(bbox_max, np.float64),
+        size=(n_points, 3),
+    )
+    patches = np.zeros(
+        (V, n_points, patch_size, patch_size, 3), np.float32
+    )
+    for v in range(V):
+        uv, w = project(
+            jnp.asarray(Ps[v], jnp.float32), jnp.asarray(pts, jnp.float32)
+        )
+        uv = np.asarray(uv)
+        # probes behind the camera have meaningless uv: force off-image so
+        # their patch is all-zero (contributes neutral similarity)
+        uv = np.where(np.asarray(w)[:, None] > 0, uv, -1e6)
+        patches[v] = extract_patches(
+            images, np.full(n_points, v), uv, patch_size
+        )
+    return np.asarray(
+        view_similarity_matrix(model, variables, jnp.asarray(patches))
+    )
+
+
 def select_pairs_learned(
     Ps: np.ndarray,
     origins: np.ndarray,

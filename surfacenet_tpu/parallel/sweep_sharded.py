@@ -38,6 +38,7 @@ from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
 from surfacenet_tpu.pipeline.sweep import (
     Predictor,
     SweepStats,
+    _resolve_compact_k,
     cube_batch_step,
     enumerate_cubes,
     prefilter_cubes,
@@ -80,7 +81,9 @@ def run_sweep_sharded(
 ) -> Tuple[SparseCubeStore, ShardedSweepStats]:
     """Sharded sweep over the mesh; returns a merged store + scaling stats."""
     from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.pipeline.sweep import resolve_backend_config
 
+    cfg = resolve_backend_config(cfg)
     if mesh is None:
         mesh = make_mesh(
             n_block=cfg.mesh.block_axis,
@@ -137,6 +140,14 @@ def run_sweep_sharded(
     Ps_d = jax.device_put(jnp.asarray(Ps, jnp.float32), replicated(mesh))
     shard = cube_sharded(mesh)
 
+    # mirror run_sweep: the Pallas gather streams fixed-size image crops, so
+    # the crop window must be sized from the scene geometry once up front.
+    crop_hw = (192, 256)
+    if cfg.sweep.use_pallas_gather:
+        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+
+        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
+
     # round-robin: each round takes cube_batch*n_cube items from each block
     cursors = [0] * n_block
     per_block_round = cfg.sweep.cube_batch * n_cube
@@ -175,34 +186,49 @@ def run_sweep_sharded(
         r_origins = origins[flat].astype(np.float32)
         pair_idx, pair_w = pair_selector(Ps, r_origins)
 
-        out = cube_batch_step(
-            images_d,
-            Ps_d,
-            jax.device_put(jnp.asarray(r_origins), shard),
-            jax.device_put(jnp.asarray(pair_idx, jnp.int32), shard),
-            jax.device_put(jnp.asarray(pair_w, jnp.float32), shard),
-            D=D,
-            s=s,
-            n_pairs=cfg.fusion.n_view_pairs,
-            tau=cfg.fusion.tau,
-            gamma=cfg.fusion.gamma,
-            adaptive=cfg.fusion.adaptive_threshold,
-            center_colors=cfg.voxel.center_colors,
-            predict=predictor,
-            use_pallas=cfg.sweep.use_pallas_gather,
-            n_pool_views=cfg.fusion.n_pool_views,
-            ray_pool_mode=cfg.fusion.ray_pool_mode,
-            compact_output=True,
-        )
-        return r_grid, valid_counts, out
+        def launch(compact: bool = True):
+            return cube_batch_step(
+                images_d,
+                Ps_d,
+                jax.device_put(jnp.asarray(r_origins), shard),
+                jax.device_put(jnp.asarray(pair_idx, jnp.int32), shard),
+                jax.device_put(jnp.asarray(pair_w, jnp.float32), shard),
+                D=D,
+                s=s,
+                n_pairs=cfg.fusion.n_view_pairs,
+                tau=cfg.fusion.tau,
+                gamma=cfg.fusion.gamma,
+                adaptive=cfg.fusion.adaptive_threshold,
+                center_colors=cfg.voxel.center_colors,
+                predict=predictor,
+                use_pallas=cfg.sweep.use_pallas_gather,
+                n_pool_views=cfg.fusion.n_pool_views,
+                ray_pool_mode=cfg.fusion.ray_pool_mode,
+                crop_hw=crop_hw,
+                adaptive_taus=cfg.fusion.adaptive_taus,
+                adaptive_target_density=cfg.fusion.adaptive_target_density,
+                compact_output=compact,
+                compact_k=cfg.sweep.compact_k,
+            )
 
-    def harvest(r_grid, valid_counts, out):
+        return r_grid, valid_counts, launch(), launch
+
+    compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)
+
+    def harvest(r_grid, valid_counts, out, launch):
         nonlocal n_processed
         from surfacenet_tpu.pipeline.sweep import unpack_compact
 
-        occ, fused, color = unpack_compact(
-            np.asarray(out[0]), np.asarray(out[1]), D
-        )
+        counts = np.asarray(out[1])
+        if (counts > compact_K).any():
+            n_over = int((counts > compact_K).sum())
+            print(
+                f"sharded sweep: {n_over} cube(s) exceed "
+                f"compact_k={compact_K}; re-fetching round dense"
+            )
+            occ, fused, color = (np.asarray(x) for x in launch(False))
+        else:
+            occ, fused, color = unpack_compact(np.asarray(out[0]), counts, D)
         stats.n_batches += 1
         stats.n_rounds += 1
         for b in range(n_block):

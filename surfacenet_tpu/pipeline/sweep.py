@@ -120,6 +120,39 @@ def prefilter_cubes(
     return nvis >= cfg.sweep.min_views_visible
 
 
+def resolve_backend_config(cfg: Config) -> Config:
+    """Downgrade TPU-only kernel knobs when running on a CPU backend.
+
+    The shipped configs enable the flagship TPU path (Pallas warp gather +
+    Pallas affine ray pooling).  Those kernels only compile on TPU; on CPU
+    (tests, dev boxes) they fall back to the XLA oracle gather and the XLA
+    affine pooling, which compute the same thing.
+    """
+    if jax.default_backend() != "cpu":
+        return cfg
+    sweep = cfg.sweep
+    fusion = cfg.fusion
+    if sweep.use_pallas_gather:
+        sweep = dataclasses.replace(sweep, use_pallas_gather=False)
+    if fusion.ray_pool_mode == "affine_pallas":
+        fusion = dataclasses.replace(fusion, ray_pool_mode="affine")
+    if sweep is not cfg.sweep or fusion is not cfg.fusion:
+        cfg = dataclasses.replace(cfg, sweep=sweep, fusion=fusion)
+    return cfg
+
+
+def _resolve_compact_k(compact_k: int, D: int) -> int:
+    """compact_k <= 0 means auto: a few surface sheets' worth of records.
+
+    A thinned surface sheet through a D-cube is ~D^2 voxels, so 4*D^2
+    (min 4096) keeps headroom for multi-sheet / noisy cubes while staying
+    ~100x smaller than a dense D^3 transfer.  Callers must still check the
+    returned counts for truncation (harvest paths re-fetch dense).
+    """
+    k = compact_k if compact_k > 0 else max(4096, 4 * D * D)
+    return min(k, D * D * D)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -151,7 +184,7 @@ def cube_batch_step(
     adaptive_taus: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     adaptive_target_density: float = 0.02,
     compact_output: bool = False,
-    compact_k: int = 4096,
+    compact_k: int = 0,  # records/cube for compact_output; <=0 = auto by D
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -210,14 +243,19 @@ def cube_batch_step(
     else:
         taus = jnp.full((Nc,), tau, jnp.float32)
 
-    # pooling views: deduplicated views of this cube's selected pairs
-    # (static shape: unique with padding; duplicates would only repeat an
-    # identical vote on both sides of the gamma threshold)
+    # pooling views: deduplicated views of this cube's selected pairs.
+    # Static shape: unique padded with -1 sentinels; padded slots are masked
+    # out of the vote and out of the gamma denominator, so "gamma fraction
+    # of views" counts each distinct view exactly once even when a cube has
+    # fewer than K unique views (low n_view_pairs configs).
     pv_all = pair_idx.reshape(Nc, n_pairs * 2)
     K = min(n_pool_views, n_pairs * 2)
-    pool_views = jax.vmap(
-        lambda pv: jnp.unique(pv, size=K, fill_value=pv[0])
+    pool_views_raw = jax.vmap(
+        lambda pv: jnp.unique(pv, size=K, fill_value=-1)
     )(pv_all)
+    view_mask = pool_views_raw >= 0  # (Nc, K)
+    pool_views = jnp.maximum(pool_views_raw, 0)
+    n_uniq = jnp.sum(view_mask, axis=1)  # (Nc,) true pooling-view count
 
     if ray_pool_mode == "affine_pallas":
         # flattened (cube, view) items through the Pallas shear kernel
@@ -231,17 +269,27 @@ def cube_batch_step(
         masks = ray_max_mask_affine_pallas(
             flat_probs, flat_pool_origins, s, flat_Ps
         ).reshape(Nc, K, D, D, D)
-        votes = jnp.sum(masks.astype(jnp.int32), axis=1)
-        need = max(int(np.ceil(gamma * K)), 1)
+        votes = jnp.sum(
+            masks.astype(jnp.int32)
+            * view_mask[:, :, None, None, None].astype(jnp.int32),
+            axis=1,
+        )
+        need = jnp.maximum(
+            jnp.ceil(gamma * n_uniq).astype(jnp.int32), 1
+        )[:, None, None, None]
         occ = (votes >= need) & (fused > taus[:, None, None, None])
     else:
 
-        def _pool_one(fp, o, pv, t):
+        def _pool_one(fp, o, pv, t, vm):
             Pv = Ps[pv]  # (K, 3, 4)
-            occ, _ = ray_pool(fp, o, s, Pv, t, gamma, mode=ray_pool_mode)
+            occ, _ = ray_pool(
+                fp, o, s, Pv, t, gamma, mode=ray_pool_mode, view_mask=vm
+            )
             return occ
 
-        occ = jax.vmap(_pool_one)(fused, origins, pool_views, taus)
+        occ = jax.vmap(_pool_one)(
+            fused, origins, pool_views, taus, view_mask
+        )
 
     # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
@@ -268,8 +316,9 @@ def cube_batch_step(
         # [idx_hi, idx_mid, idx_lo, prob, r, g, b] (7 bytes/voxel; 24-bit
         # voxel index covers up to 256^3 cubes), plus the true occupied
         # count.  ~10-30x less transfer than dense volumes; exact unless a
-        # cube has more than compact_k occupied voxels (count tells).
-        K = min(compact_k, D * D * D)
+        # cube has more than compact_k occupied voxels — harvest paths MUST
+        # check the counts and re-fetch truncated cubes dense.
+        K = _resolve_compact_k(compact_k, D)
         flat_occ = occ.reshape(Nc, -1)
         flat_fused = fused.reshape(Nc, -1)
         score = flat_occ.astype(jnp.float32) * 2.0 + flat_fused
@@ -363,6 +412,7 @@ def run_sweep(
     """
     from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
 
+    cfg = resolve_backend_config(cfg)
     stats = SweepStats()
     D = cfg.voxel.cube_size
     s = cfg.voxel.voxel_size_mm
@@ -421,7 +471,7 @@ def run_sweep(
         pair_idx = np.concatenate([pair_idx, pair_idx[:1].repeat(n_pad, 0)])
         pair_w = np.concatenate([pair_w, pair_w[:1].repeat(n_pad, 0)])
 
-    def dispatch(b0):
+    def dispatch(b0, compact: bool = True):
         """Launch one batch (async; jax dispatch returns immediately)."""
         return cube_batch_step(
             images_d,
@@ -443,13 +493,28 @@ def run_sweep(
             crop_hw=crop_hw,
             adaptive_taus=cfg.fusion.adaptive_taus,
             adaptive_target_density=cfg.fusion.adaptive_target_density,
-            compact_output=True,
+            compact_output=compact,
+            compact_k=cfg.sweep.compact_k,
         )
 
+    compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)
+
     def harvest(b0, out):
-        occ, fused, color = unpack_compact(
-            np.asarray(out[0]), np.asarray(out[1]), D
-        )
+        counts = np.asarray(out[1])
+        if (counts > compact_K).any():
+            # compact records truncated a pathologically dense cube: re-run
+            # the batch dense so no occupied voxel is silently dropped.
+            n_over = int((counts > compact_K).sum())
+            print(
+                f"sweep: {n_over} cube(s) exceed compact_k={compact_K} "
+                f"occupied voxels; re-fetching batch dense"
+            )
+            if metrics is not None:
+                metrics.count("compact_truncation_refetches", n_over)
+            dense = dispatch(b0, compact=False)
+            occ, fused, color = (np.asarray(x) for x in dense)
+        else:
+            occ, fused, color = unpack_compact(np.asarray(out[0]), counts, D)
         stats.n_batches += 1
         for i in range(min(B, n - b0)):
             gi = tuple(grid[b0 + i])

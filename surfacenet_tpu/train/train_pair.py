@@ -39,11 +39,13 @@ def extract_patches(
     u0 = np.round(uv[:, 0]).astype(int) - half
     v0 = np.round(uv[:, 1]).astype(int) - half
     for i in range(B):
-        ys = slice(max(v0[i], 0), min(v0[i] + size, H))
-        xs = slice(max(u0[i], 0), min(u0[i] + size, W))
-        oy = ys.start - v0[i]
-        ox = xs.start - u0[i]
-        crop = images[view_idx[i], ys, xs]
+        y0, y1 = max(v0[i], 0), min(v0[i] + size, H)
+        x0, x1 = max(u0[i], 0), min(u0[i] + size, W)
+        if y1 <= y0 or x1 <= x0:
+            continue  # patch entirely off-image: stays zero
+        crop = images[view_idx[i], y0:y1, x0:x1]
+        oy = y0 - v0[i]
+        ox = x0 - u0[i]
         out[i, oy : oy + crop.shape[0], ox : ox + crop.shape[1]] = crop
     return out
 
@@ -130,13 +132,32 @@ def save_pairnet(ckpt_dir: str, variables, step: int = 0) -> None:
     ckptr.wait_until_finished()
 
 
-def restore_pairnet(ckpt_dir: str, cfg: Config, step: int = 0):
+def restore_pairnet(ckpt_dir: str, cfg: Config, step: Optional[int] = None):
+    """Restore a pairnet checkpoint.
+
+    ``ckpt_dir`` may point directly at a ``pairnet_<step>`` dir, or at a
+    parent dir (then ``step`` selects; default = highest step present).
+    """
     import os
 
     import orbax.checkpoint as ocp
 
     model, variables = init_pairnet(cfg.pairnet, jax.random.PRNGKey(0))
-    path = os.path.abspath(os.path.join(ckpt_dir, f"pairnet_{step}"))
+    if os.path.basename(os.path.normpath(ckpt_dir)).startswith("pairnet_"):
+        path = os.path.abspath(ckpt_dir)
+    else:
+        if step is None:
+            steps = sorted(
+                int(d.split("_", 1)[1])
+                for d in os.listdir(ckpt_dir)
+                if d.startswith("pairnet_") and d.split("_", 1)[1].isdigit()
+            )
+            if not steps:
+                raise FileNotFoundError(
+                    f"no pairnet_<step> checkpoints under {ckpt_dir}"
+                )
+            step = steps[-1]
+        path = os.path.abspath(os.path.join(ckpt_dir, f"pairnet_{step}"))
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, {"params": variables["params"]})
     return model, {"params": restored["params"]}

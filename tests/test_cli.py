@@ -121,3 +121,74 @@ def test_train_cli_with_scan_and_gt(tmp_path, small_scene):
             "--set", "train.batch_size=4",
         ]
     )
+
+
+def test_reconstruct_cli_sharded(tmp_path, small_scene):
+    """--sharded routes through run_sweep_sharded on the 8-device mesh."""
+    from surfacenet_tpu.data.dtu import write_scan
+
+    scan_dir = str(tmp_path / "scan")
+    write_scan(
+        scan_dir, small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+    )
+    out = str(tmp_path / "out.ply")
+    main(
+        [
+            "reconstruct", "--scan", scan_dir, "--out", out, "--sharded",
+            "--ledger", str(tmp_path / "ledgers"),
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=2",
+            "--set", "mesh.block_axis=2",
+        ]
+    )
+    from surfacenet_tpu.utils.ply import read_ply
+
+    pts, colors = read_ply(out)
+    assert len(pts) > 50
+
+
+def test_train_pairnet_cli_then_reconstruct(tmp_path, small_scene):
+    """train-pairnet saves a checkpoint reconstruct --pairnet can consume."""
+    from surfacenet_tpu.data.dtu import write_scan
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    main(
+        [
+            "train-pairnet", "--steps", "2",
+            "--checkpoint-dir", ckpt_dir,
+            "--set", "pairnet.channels=[8]",
+            "--set", "pairnet.embed_dim=8",
+            "--set", "pairnet.patch_size=16",
+            "--set", "train.batch_size=4",
+        ]
+    )
+    scan_dir = str(tmp_path / "scan")
+    write_scan(
+        scan_dir, small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+    )
+    out = str(tmp_path / "out.ply")
+    main(
+        [
+            "reconstruct", "--scan", scan_dir, "--out", out,
+            "--pairnet", ckpt_dir,
+            "--set", "pairnet.channels=[8]",
+            "--set", "pairnet.embed_dim=8",
+            "--set", "pairnet.patch_size=16",
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    from surfacenet_tpu.utils.ply import read_ply
+
+    pts, _ = read_ply(out)
+    assert len(pts) > 50

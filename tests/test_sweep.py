@@ -151,3 +151,84 @@ def test_sweep_resume(sphere_scene, tmp_path):
     p1, _, _ = store1.merge()
     p2, _, _ = store2.merge()
     assert len(p1) == len(p2)
+
+
+def test_compact_truncation_refetches_dense(sphere_scene):
+    """A compact_k too small for a cube's occupancy must not lose voxels.
+
+    The harvest path checks the true occupied counts against compact_k and
+    re-fetches the offending batch densely (VERDICT r1: silent-truncation
+    hazard at 64^3), so results are identical to an ample compact_k run.
+    """
+    cfg = _config()
+    pred = _analytic_predictor(sphere_scene, cfg)
+
+    store_ref, _ = run_sweep(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max, cfg, pred,
+    )
+    # compact_k far below the per-cube occupied counts of the sphere shell
+    cfg_small = dataclasses.replace(
+        cfg, sweep=dataclasses.replace(cfg.sweep, compact_k=8)
+    )
+    store_small, _ = run_sweep(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max, cfg_small, pred,
+    )
+    pts_ref, probs_ref, _ = store_ref.merge()
+    pts_small, probs_small, _ = store_small.merge()
+    assert len(pts_ref) == len(pts_small)
+    ref_sorted = pts_ref[np.lexsort(pts_ref.T)]
+    small_sorted = pts_small[np.lexsort(pts_small.T)]
+    np.testing.assert_allclose(ref_sorted, small_sorted, atol=1e-5)
+
+
+def test_compact_k_auto_scales_with_cube_size():
+    from surfacenet_tpu.pipeline.sweep import _resolve_compact_k
+
+    assert _resolve_compact_k(0, 32) == 4096
+    assert _resolve_compact_k(0, 64) == 16384
+    assert _resolve_compact_k(0, 8) == 512  # capped at D^3
+    assert _resolve_compact_k(100, 64) == 100  # explicit wins
+
+
+def test_gamma_vote_counts_unique_views_once(sphere_scene):
+    """Duplicate views across selected pairs must not double-vote.
+
+    Pairs [(0,1),(0,1),(2,3)] pool over unique views {0,1,2,3}; with a
+    predictor that ignores the CVCs, occupancy must match pairs
+    [(0,1),(2,3)] exactly (ADVICE r1: padded slots multiply counted the
+    fill view's ray-max votes).
+    """
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.pipeline.sweep import cube_batch_step
+
+    cfg = _config()
+    pred = _analytic_predictor(sphere_scene, cfg)
+    D, s = cfg.voxel.cube_size, cfg.voxel.voxel_size_mm
+    surf = np.asarray(sphere_scene.center, np.float32) + np.array(
+        [sphere_scene.radius, 0.0, 0.0], np.float32
+    )
+    origin = surf - D * s / 2.0
+    origins = jnp.asarray(origin[None].repeat(2, 0))
+    images = jnp.asarray(sphere_scene.images, jnp.float32)
+    Ps = jnp.asarray(sphere_scene.Ps, jnp.float32)
+
+    kw = dict(
+        D=D, s=s, tau=0.25, gamma=0.5, adaptive=False, center_colors=True,
+        predict=lambda x, o: pred(x, o), n_pool_views=6,
+        ray_pool_mode="affine",
+    )
+    occ_dup, _, _ = cube_batch_step(
+        images, Ps, origins,
+        jnp.asarray([[[0, 1], [0, 1], [2, 3]]] * 2, jnp.int32),
+        jnp.ones((2, 3), jnp.float32), n_pairs=3, **kw,
+    )
+    occ_ref, _, _ = cube_batch_step(
+        images, Ps, origins,
+        jnp.asarray([[[0, 1], [2, 3]]] * 2, jnp.int32),
+        jnp.ones((2, 2), jnp.float32), n_pairs=2, **kw,
+    )
+    assert bool(jnp.any(occ_ref)), "test scene produced no occupancy"
+    np.testing.assert_array_equal(np.asarray(occ_dup), np.asarray(occ_ref))
