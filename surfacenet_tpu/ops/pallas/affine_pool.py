@@ -31,8 +31,10 @@ def _affine_pool_kernel(
     #           three spatial dims — dynamic slab indexing must hit an
     #           untiled leading axis, never the (8,128)-tiled trailing two
     mask_ref,  # (1, D, D, D) f32 VMEM out: 1.0 where ray-max
+    sheared_ref,  # (D, D, D) f32 VMEM scratch: sheared stack (windowed mode)
     *,
     D: int,
+    window: int = 0,
 ):
     item = pl.program_id(0)
     sl0 = slopes_ref[item, 0]
@@ -63,6 +65,41 @@ def _affine_pool_kernel(
         buf = pltpu.roll(buf, oj, 1)
         return buf[:D, :D]
 
+    if window > 0:
+        # windowed (cross-cube-consistent) ray max: store the sheared
+        # stack, then per-slab max over +-window neighbors before the
+        # unshear-and-compare.  Costs one extra (D, D, D) VMEM scratch and
+        # D*(2*window+1) elementwise maxes — still VPU-trivial.
+        def store(t, _):
+            oi, oj = offs(t)
+            sheared_ref[t] = shifted(vol_ref[0, t], oi, oj)
+            return 0
+
+        jax.lax.fori_loop(0, D, store, 0)
+
+        def back_w(t, _):
+            def wmax(k, M):
+                tt = t - window + k
+                ok = (tt >= 0) & (tt < D)
+                v = sheared_ref[jnp.clip(tt, 0, D - 1)]
+                return jnp.maximum(
+                    M, jnp.where(ok, v, jnp.float32(NEG))
+                )
+
+            W = jax.lax.fori_loop(
+                0, 2 * window + 1, wmax,
+                jnp.full((D, D), NEG, jnp.float32),
+            )
+            oi, oj = offs(t)
+            rm = shifted(W, -oi, -oj)
+            mask_ref[0, t] = (
+                vol_ref[0, t] >= rm - 1e-6
+            ).astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, D, back_w, 0)
+        return
+
     # pass 1: M[p, q] = max_t shifted slab t
     def acc(t, M):
         oi, oj = offs(t)
@@ -84,12 +121,13 @@ def _affine_pool_kernel(
     jax.lax.fori_loop(0, D, back, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("D", "interpret"))
+@functools.partial(jax.jit, static_argnames=("D", "window", "interpret"))
 def _pool_one_axis(
     vols: jnp.ndarray,  # (N, D, D, D) pre-transposed, dominant axis last
     slopes: jnp.ndarray,  # (N, 2)
     *,
     D: int,
+    window: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     N = vols.shape[0]
@@ -102,9 +140,10 @@ def _pool_one_axis(
         out_specs=[
             pl.BlockSpec((1, D, D, D), lambda i, *_: (i, 0, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((D, D, D), jnp.float32)],
     )
     (mask,) = pl.pallas_call(
-        functools.partial(_affine_pool_kernel, D=D),
+        functools.partial(_affine_pool_kernel, D=D, window=window),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((N, D, D, D), jnp.float32)],
         interpret=interpret,
@@ -117,6 +156,7 @@ def ray_max_mask_affine_pallas(
     origins: jnp.ndarray,  # (N, 3)
     s: float,
     Ps: jnp.ndarray,  # (N, 3, 4) per-item pooling view
+    window: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched affine ray-max mask via the Pallas kernel.
@@ -147,7 +187,9 @@ def ray_max_mask_affine_pallas(
         # items not on this axis would have |slope| > 1: clamp (their
         # results are discarded by the select below).
         slopes = jnp.clip(slopes, -1.0, 1.0)
-        m = _pool_one_axis(vols, slopes, D=D, interpret=interpret)
+        m = _pool_one_axis(
+            vols, slopes, D=D, window=window, interpret=interpret
+        )
         inv = tuple(int(i) + 1 for i in np.argsort(order))
         masks.append(jnp.transpose(m, (0,) + inv))
 

@@ -41,6 +41,7 @@ def ray_max_mask_single_view(
     P: jnp.ndarray,
     raster_size: int = 128,
     auto_scale: bool = True,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Per-voxel mask: is this voxel the max-probability voxel on its ray?
 
@@ -57,6 +58,18 @@ def ray_max_mask_single_view(
         degenerates (every voxel is its own ray).  With auto_scale the ray
         raster is coarsened so one ray is ~one voxel footprint — and the
         cube's footprint always fits the static window.
+      window: 0 = segment semantics (max over the ray's whole intersection
+        with this volume — the reference's per-cube chop).  > 0 = WINDOWED
+        semantics: a voxel survives if it is the max within ~±window voxels
+        of ray depth.  Windowed is the cross-cube-consistent rule: combined
+        with core claiming (cubes claim only voxels >= window voxels from
+        their faces, which the sweep overlap provides), every claimed
+        voxel's comparison window lies inside its own cube, so boundary
+        pooling is exact with zero communication.  Implemented as a
+        depth-binned scatter-max (bin = window voxels of metric ray depth;
+        compare own + adjacent bins), so the effective window is in
+        [window, 3*window) depending on bin alignment — it errs on the
+        thinning side.
 
     Returns:
       (D, D, D) bool.
@@ -96,8 +109,31 @@ def ray_max_mask_single_view(
 
     pf = prob.reshape(-1)
     contrib = jnp.where(inside, pf, NEG)
-    buf = jnp.full((R * R,), NEG, prob.dtype).at[pid].max(contrib)
-    ray_max = buf[pid]
+
+    if window <= 0:
+        buf = jnp.full((R * R,), NEG, prob.dtype).at[pid].max(contrib)
+        ray_max = buf[pid]
+    else:
+        # metric ray depth: w / ||P[2,:3]|| is depth in mm for any row
+        # scaling of P; bin by `window` voxels of depth.
+        depth = w / (jnp.linalg.norm(P[2, :3]) + 1e-12)
+        bin_mm = window * s
+        # depth range inside the cube spans <= D*sqrt(3) voxels
+        NB = int(np.ceil(D * 1.7322 / window)) + 2
+        dmin = jnp.min(jnp.where(infront, depth, big))
+        b = jnp.clip(
+            jnp.floor((depth - dmin) / bin_mm).astype(jnp.int32), 0, NB - 1
+        )
+        buf = jnp.full((R * R * NB,), NEG, prob.dtype).at[
+            pid * NB + b
+        ].max(contrib)
+        buf2 = buf.reshape(R * R, NB)
+        own = buf2[pid, b]
+        lo = jnp.where(b > 0, buf2[pid, jnp.maximum(b - 1, 0)], NEG)
+        hi = jnp.where(
+            b < NB - 1, buf2[pid, jnp.minimum(b + 1, NB - 1)], NEG
+        )
+        ray_max = jnp.maximum(own, jnp.maximum(lo, hi))
     is_max = inside & (pf >= ray_max - 1e-6) & (ray_max > NEG / 2)
     return is_max.reshape(D, D, D)
 
@@ -127,6 +163,7 @@ def ray_max_mask_affine(
     origin: jnp.ndarray,
     s: float,
     P: jnp.ndarray,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Affine-approximation ray-max mask: no scatters, no gathers.
 
@@ -142,6 +179,12 @@ def ray_max_mask_affine(
     curvature O(cube_extent/distance) and +-0.5 voxel shear rounding —
     acceptable for thinning (the gamma vote absorbs ray misassignment);
     mode-selectable via FusionConfig.ray_pool_mode.
+
+    window: 0 = segment max over the volume (reference per-cube semantics);
+    > 0 = sliding max over +-window slabs along the dominant ray axis (the
+    cross-cube-consistent rule; see ray_max_mask_single_view).  In the
+    sheared frame the windowed ray max is an exact 1-D max-pool over the
+    slab axis — no binning approximation.
     """
     D = prob.shape[0]
     center = origin.astype(jnp.float32) + 0.5 * D * s
@@ -168,16 +211,26 @@ def ray_max_mask_affine(
 
         # 1) sheared accumulation: shift every slab at once (vmapped
         #    dynamic_slice = one batched op, not a serial loop), then a
-        #    single max-reduce over t.
+        #    max-reduce over t (global, or sliding-window for windowed
+        #    cross-cube-consistent pooling).
         shifted = jax.vmap(
             lambda t: _shift2d(p[:, :, t], oi[t], oj[t], NEG),
         )(jnp.arange(D))  # (D, D, D) with t leading
-        M = jnp.max(shifted, axis=0)  # (D, D)
 
-        # 2) broadcast back: ray_max for slab t = M shifted by -offs(t)
-        ray_max = jax.vmap(
-            lambda t: _shift2d(M, -oi[t], -oj[t], NEG)
-        )(jnp.arange(D))  # (D, D, D) t leading
+        if window > 0:
+            W = jax.lax.reduce_window(
+                shifted, NEG, jax.lax.max,
+                (2 * window + 1, 1, 1), (1, 1, 1), "SAME",
+            )  # (D, D, D) t leading: per-slab windowed ray max
+            ray_max = jax.vmap(
+                lambda t: _shift2d(W[t], -oi[t], -oj[t], NEG)
+            )(jnp.arange(D))
+        else:
+            M = jnp.max(shifted, axis=0)  # (D, D)
+            # 2) broadcast back: ray_max for slab t = M shifted by -offs(t)
+            ray_max = jax.vmap(
+                lambda t: _shift2d(M, -oi[t], -oj[t], NEG)
+            )(jnp.arange(D))  # (D, D, D) t leading
         ray_max = jnp.moveaxis(ray_max, 0, -1)
         is_max = p >= ray_max - 1e-6
         inv = np.argsort(perm)
@@ -204,9 +257,12 @@ def ray_pool(
     auto_scale: bool = True,
     mode: str = "exact",
     view_mask: jnp.ndarray | None = None,
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full thinning for one cube.  mode: "exact" (scatter-max raster) or
     "affine" (sheared-slab approximation, ~100x cheaper on TPU).
+    window > 0 switches from per-cube segment max to the windowed
+    (cross-cube-consistent) ray max; see ray_max_mask_single_view.
 
     Args:
       prob: (D, D, D) fused probability.
@@ -225,12 +281,12 @@ def ray_pool(
     """
     if mode == "affine":
         masks = jax.vmap(
-            lambda P: ray_max_mask_affine(prob, origin, s, P)
+            lambda P: ray_max_mask_affine(prob, origin, s, P, window)
         )(Ps)
     else:
         masks = jax.vmap(
             lambda P: ray_max_mask_single_view(
-                prob, origin, s, P, raster_size, auto_scale
+                prob, origin, s, P, raster_size, auto_scale, window
             )
         )(Ps)
     if view_mask is not None:
@@ -254,6 +310,7 @@ def ray_pool_batch(
     raster_size: int = 128,
     auto_scale: bool = True,
     mode: str = "exact",
+    window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmap of ray_pool over a batch of cubes.
 
@@ -266,6 +323,7 @@ def ray_pool_batch(
     taus = jnp.broadcast_to(jnp.asarray(taus), (probs.shape[0],))
     return jax.vmap(
         lambda p, o, P, t: ray_pool(
-            p, o, s, P, t, gamma, raster_size, auto_scale, mode
+            p, o, s, P, t, gamma, raster_size, auto_scale, mode,
+            window=window,
         )
     )(probs, origins, Ps, taus)

@@ -39,9 +39,11 @@ from surfacenet_tpu.pipeline.sweep import (
     Predictor,
     SweepStats,
     _resolve_compact_k,
+    core_bounds_for,
     cube_batch_step,
     enumerate_cubes,
     prefilter_cubes,
+    resolve_pool_window,
 )
 
 
@@ -102,6 +104,8 @@ def run_sweep_sharded(
         cfg,
     )
     stats.n_cubes_total = len(origins)
+    lattice_max = grid.max(axis=0) if len(grid) else np.zeros(3, int)
+    pool_window = resolve_pool_window(cfg)
     keep = prefilter_cubes(Ps, origins, hw, cfg)
     grid, origins = grid[keep], origins[keep]
     stats.n_cubes_after_prefilter = len(origins)
@@ -122,6 +126,7 @@ def run_sweep_sharded(
             cube_size=D,
             stride=cfg.voxel.stride,
             ledger_path=ledger,
+            occupancy_vote=0.0 if pool_window > 0 else 0.5,
         )
         stores.append(st)
         done = st.done_set()
@@ -185,6 +190,11 @@ def run_sweep_sharded(
         r_grid = grid[flat]
         r_origins = origins[flat].astype(np.float32)
         pair_idx, pair_w = pair_selector(Ps, r_origins)
+        core_bounds = (
+            core_bounds_for(r_grid, lattice_max, D, cfg.voxel.overlap)
+            if pool_window > 0
+            else None
+        )
 
         def launch(compact: bool = True):
             return cube_batch_step(
@@ -193,6 +203,11 @@ def run_sweep_sharded(
                 jax.device_put(jnp.asarray(r_origins), shard),
                 jax.device_put(jnp.asarray(pair_idx, jnp.int32), shard),
                 jax.device_put(jnp.asarray(pair_w, jnp.float32), shard),
+                None
+                if core_bounds is None
+                else jax.device_put(
+                    jnp.asarray(core_bounds, jnp.int32), shard
+                ),
                 D=D,
                 s=s,
                 n_pairs=cfg.fusion.n_view_pairs,
@@ -209,6 +224,7 @@ def run_sweep_sharded(
                 adaptive_target_density=cfg.fusion.adaptive_target_density,
                 compact_output=compact,
                 compact_k=cfg.sweep.compact_k,
+                pool_window=pool_window,
             )
 
         return r_grid, valid_counts, launch(), launch
@@ -265,6 +281,7 @@ def run_sweep_sharded(
         voxel_size_mm=s,
         cube_size=D,
         stride=cfg.voxel.stride,
+        occupancy_vote=0.0 if pool_window > 0 else 0.5,
     )
     for st in stores:
         for g, res in st._cubes.items():

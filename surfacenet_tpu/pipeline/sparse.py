@@ -49,11 +49,15 @@ class SparseCubeStore:
         cube_size: int,
         stride: int,
         ledger_path: Optional[str] = None,
+        occupancy_vote: float = 0.5,
     ):
         self.scene_origin = np.asarray(scene_origin, np.float64)
         self.s = float(voxel_size_mm)
         self.D = int(cube_size)
         self.stride = int(stride)
+        # default overlap-merge vote threshold; 0.0 for core-claiming
+        # sweeps (each voxel has exactly one owning cube, no cross-votes).
+        self.occupancy_vote = float(occupancy_vote)
         self._cubes: Dict[Tuple[int, int, int], CubeResult] = {}
         self._done: set = set()
         self.ledger_path = ledger_path
@@ -137,7 +141,7 @@ class SparseCubeStore:
     # ------------------------------------------------------------- merge
 
     def merge(
-        self, occupancy_vote: float = 0.5
+        self, occupancy_vote: Optional[float] = None
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Merge all cubes into deduplicated global voxels.
 
@@ -151,6 +155,8 @@ class SparseCubeStore:
           probs: (N,) merged probability.
           colors: (N, 3) float in [0, 1].
         """
+        if occupancy_vote is None:
+            occupancy_vote = self.occupancy_vote
         if not self._cubes:
             return (
                 np.zeros((0, 3), np.float32),
@@ -266,7 +272,9 @@ class SparseCubeStore:
 
     # ------------------------------------------------------------- export
 
-    def export_ply(self, path: str, occupancy_vote: float = 0.5) -> int:
+    def export_ply(
+        self, path: str, occupancy_vote: Optional[float] = None
+    ) -> int:
         pts, probs, colors = self.merge(occupancy_vote)
         write_ply(path, pts, colors)
         return len(pts)

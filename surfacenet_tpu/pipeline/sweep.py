@@ -141,6 +141,35 @@ def resolve_backend_config(cfg: Config) -> Config:
     return cfg
 
 
+def resolve_pool_window(cfg: Config) -> int:
+    """Effective ray-max window (voxels): -1 = auto from the sweep overlap.
+
+    Auto picks overlap//2 (>= 2): the largest window for which every
+    claimed voxel's comparison window is contained in its own cube, making
+    boundary pooling exact without halo communication.
+    """
+    w = cfg.fusion.pool_window_vox
+    if w < 0:
+        w = max(2, cfg.voxel.overlap // 2)
+    return w
+
+
+def core_bounds_for(
+    grid: np.ndarray, lattice_max: np.ndarray, D: int, overlap: int
+) -> np.ndarray:
+    """Per-cube claimed-voxel bounds (N, 3, 2) for core claiming.
+
+    Cores trim overlap//2 voxels from each face so they tile the scene
+    exactly (stride = D - overlap); cubes on the lattice boundary extend
+    their core to the scene edge.
+    """
+    m_lo = overlap // 2
+    m_hi = overlap - m_lo
+    lo = np.where(grid == 0, 0, m_lo)
+    hi = np.where(grid == np.asarray(lattice_max), D, D - m_hi)
+    return np.stack([lo, hi], axis=-1).astype(np.int32)
+
+
 def _resolve_compact_k(compact_k: int, D: int) -> int:
     """compact_k <= 0 means auto: a few surface sheets' worth of records.
 
@@ -159,7 +188,7 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
-        "compact_output", "compact_k",
+        "compact_output", "compact_k", "pool_window",
     ),
 )
 def cube_batch_step(
@@ -168,6 +197,7 @@ def cube_batch_step(
     origins: jnp.ndarray,  # (Nc, 3) float32
     pair_idx: jnp.ndarray,  # (Nc, Npairs, 2) int32
     pair_w: jnp.ndarray,  # (Nc, Npairs) float32
+    core_bounds: jnp.ndarray | None = None,  # (Nc, 3, 2) int32 claim region
     *,
     D: int,
     s: float,
@@ -185,6 +215,7 @@ def cube_batch_step(
     adaptive_target_density: float = 0.02,
     compact_output: bool = False,
     compact_k: int = 0,  # records/cube for compact_output; <=0 = auto by D
+    pool_window: int = 0,  # >0: windowed ray max (cross-cube-consistent)
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -193,6 +224,16 @@ def cube_batch_step(
     no second gather for colors.  ``use_pallas`` switches the gather between
     the XLA oracle (ops/cvc.py) and the Pallas kernel
     (ops/pallas/warp_gather.py).
+
+    Cross-cube pooling (SURVEY.md SS7 "ray pooling across shard
+    boundaries"): with ``pool_window`` > 0 the per-ray max is windowed
+    (+-pool_window voxels) instead of chopped at the cube face, and
+    ``core_bounds`` restricts each cube's claimed voxels to its core so the
+    scene tiles without double claims.  When the sweep overlap is >=
+    2*pool_window, every claimed voxel's comparison window lies inside its
+    own cube's volume — boundary pooling is then exact with ZERO
+    communication (redundant compute in the overlap region replaces the
+    halo exchange; the TPU-native tradeoff).
 
     Returns (occupancy (Nc,D,D,D) bool, fused (Nc,D,D,D) f32,
              color (Nc,D,D,D,3) f32).
@@ -267,7 +308,7 @@ def cube_batch_step(
         flat_pool_origins = jnp.repeat(origins, K, axis=0)
         flat_Ps = Ps[pool_views.reshape(-1)]  # (Nc*K, 3, 4)
         masks = ray_max_mask_affine_pallas(
-            flat_probs, flat_pool_origins, s, flat_Ps
+            flat_probs, flat_pool_origins, s, flat_Ps, window=pool_window
         ).reshape(Nc, K, D, D, D)
         votes = jnp.sum(
             masks.astype(jnp.int32)
@@ -283,13 +324,31 @@ def cube_batch_step(
         def _pool_one(fp, o, pv, t, vm):
             Pv = Ps[pv]  # (K, 3, 4)
             occ, _ = ray_pool(
-                fp, o, s, Pv, t, gamma, mode=ray_pool_mode, view_mask=vm
+                fp, o, s, Pv, t, gamma, mode=ray_pool_mode, view_mask=vm,
+                window=pool_window,
             )
             return occ
 
         occ = jax.vmap(_pool_one)(
             fused, origins, pool_views, taus, view_mask
         )
+
+    if core_bounds is not None:
+        # claim only the core region (scene-edge cubes claim to the edge):
+        # with windowed pooling this makes cube claims tile the scene with
+        # exact boundary semantics; voxels outside the core belong to the
+        # neighbor that sees their full comparison window.
+        ii = jnp.arange(D)
+
+        def _claim(b):
+            mx = (ii >= b[0, 0]) & (ii < b[0, 1])
+            my = (ii >= b[1, 0]) & (ii < b[1, 1])
+            mz = (ii >= b[2, 0]) & (ii < b[2, 1])
+            return (
+                mx[:, None, None] & my[None, :, None] & mz[None, None, :]
+            )
+
+        occ = occ & jax.vmap(_claim)(core_bounds)
 
     # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
@@ -423,17 +482,22 @@ def run_sweep(
         cfg,
     )
     stats.n_cubes_total = len(origins)
+    lattice_max = grid.max(axis=0) if len(grid) else np.zeros(3, int)
 
     keep = prefilter_cubes(Ps, origins, hw, cfg)
     grid, origins = grid[keep], origins[keep]
     stats.n_cubes_after_prefilter = len(origins)
 
+    pool_window = resolve_pool_window(cfg)
     store = SparseCubeStore(
         scene_origin=np.asarray(bbox_min, np.float64),
         voxel_size_mm=s,
         cube_size=D,
         stride=cfg.voxel.stride,
         ledger_path=ledger_path,
+        # core claiming assigns each voxel exactly one owning cube, so the
+        # multi-cube occupancy vote must not veto single claims.
+        occupancy_vote=0.0 if pool_window > 0 else 0.5,
     )
     # resume: skip cubes already in the ledger
     done = store.done_set()
@@ -463,6 +527,12 @@ def run_sweep(
             Ps, bbox_min, bbox_max, D, s, hw
         )
 
+    core_bounds = (
+        core_bounds_for(grid, lattice_max, D, cfg.voxel.overlap)
+        if pool_window > 0
+        else None
+    )
+
     B = cfg.sweep.cube_batch
     n = len(origins)
     n_pad = (-n) % B
@@ -470,6 +540,10 @@ def run_sweep(
         origins = np.concatenate([origins, origins[:1].repeat(n_pad, 0)])
         pair_idx = np.concatenate([pair_idx, pair_idx[:1].repeat(n_pad, 0)])
         pair_w = np.concatenate([pair_w, pair_w[:1].repeat(n_pad, 0)])
+        if core_bounds is not None:
+            core_bounds = np.concatenate(
+                [core_bounds, core_bounds[:1].repeat(n_pad, 0)]
+            )
 
     def dispatch(b0, compact: bool = True):
         """Launch one batch (async; jax dispatch returns immediately)."""
@@ -479,6 +553,9 @@ def run_sweep(
             jnp.asarray(origins[b0 : b0 + B], jnp.float32),
             jnp.asarray(pair_idx[b0 : b0 + B], jnp.int32),
             jnp.asarray(pair_w[b0 : b0 + B], jnp.float32),
+            None
+            if core_bounds is None
+            else jnp.asarray(core_bounds[b0 : b0 + B], jnp.int32),
             D=D,
             s=s,
             n_pairs=cfg.fusion.n_view_pairs,
@@ -495,6 +572,7 @@ def run_sweep(
             adaptive_target_density=cfg.fusion.adaptive_target_density,
             compact_output=compact,
             compact_k=cfg.sweep.compact_k,
+            pool_window=pool_window,
         )
 
     compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)

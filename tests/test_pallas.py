@@ -128,3 +128,36 @@ def test_affine_pool_pallas_matches_xla(scene):
         )
         agree = (got[i] == ref).mean()
         assert agree > 0.999, f"item {i}: agreement {agree}"
+
+
+def test_affine_pool_pallas_windowed_matches_xla(scene):
+    """Windowed (cross-cube-consistent) Pallas pool vs the XLA oracle."""
+    from surfacenet_tpu.ops.pallas.affine_pool import (
+        ray_max_mask_affine_pallas,
+    )
+    from surfacenet_tpu.ops.ray_pooling import ray_max_mask_affine
+
+    rng = np.random.default_rng(1)
+    D, s = 16, 2.0
+    N = 6
+    probs = jnp.asarray(rng.uniform(size=(N, D, D, D)).astype(np.float32))
+    origins = jnp.asarray(
+        np.tile(np.array([-16.0, -16.0, -16.0], np.float32), (N, 1))
+    )
+    views = rng.integers(0, scene.Ps.shape[0], N)
+    Ps = jnp.asarray(scene.Ps[views], jnp.float32)
+
+    for window in (2, 4):
+        got = np.asarray(
+            ray_max_mask_affine_pallas(
+                probs, origins, s, Ps, window=window, interpret=True
+            )
+        )
+        for i in range(N):
+            ref = np.asarray(
+                ray_max_mask_affine(
+                    probs[i], origins[i], s, Ps[i], window=window
+                )
+            )
+            agree = (got[i] == ref).mean()
+            assert agree > 0.999, f"w={window} item {i}: agreement {agree}"
