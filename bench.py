@@ -109,17 +109,89 @@ def main():
     dt = best_dt
 
     cubes_per_s = BATCH * n_iters / dt
-    baseline_est = 5.0  # cubes/s, documented estimate (see module docstring)
-    print(
-        json.dumps(
-            {
-                "metric": "inference_cubes_per_s_per_chip",
-                "value": round(cubes_per_s, 2),
-                "unit": "cubes/s (32^3 voxels, 5 view pairs, full model)",
-                "vs_baseline": round(cubes_per_s / baseline_est, 2),
-            }
-        )
+
+    # --- MFU accounting (BASELINE north star: >= 70% 3D-conv utilization)
+    from surfacenet_tpu.utils.observability import (
+        FlopModel, detect_peak_tflops,
     )
+
+    fm = FlopModel(cfg.model, D)
+    peak = detect_peak_tflops()
+    flops_per_item = fm.conv_stack_flops() + fm.side_flops()
+    items_per_s_e2e = cubes_per_s * cfg.fusion.n_view_pairs
+    e2e_mfu = 100.0 * fm.utilization(items_per_s_e2e, peak)
+
+    # model-forward stage alone (same item count as one e2e batch)
+    n_items = BATCH * cfg.fusion.n_view_pairs
+    x_fwd = jnp.zeros((n_items, D, D, D, cfg.model.in_channels), jnp.float32)
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    float(jnp.sum(fwd(x_fwd)))
+    best_fwd = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sums = [jnp.sum(fwd(x_fwd)) for _ in range(n_iters)]
+        float(sum(sums))
+        best_fwd = min(best_fwd, time.perf_counter() - t0)
+    fwd_items_per_s = n_items * n_iters / best_fwd
+    fwd_mfu = 100.0 * fm.utilization(fwd_items_per_s, peak)
+
+    # --- 64^3 operating point (BASELINE config 2: train 32^3, apply 64^3)
+    cubes_per_s_64 = None
+    try:
+        D64 = 64
+        B64 = 4
+        pts64 = scene.surface_points(B64, seed=2)
+        origins64 = (pts64 - D64 * cfg.voxel.voxel_size_mm / 2).astype(
+            np.float32
+        )
+        pair_idx64, pair_w64 = select_pairs_geometric(
+            scene.Ps, origins64, cfg.fusion.n_view_pairs,
+            scene.images.shape[1:3],
+            extent_mm=D64 * cfg.voxel.voxel_size_mm,
+        )
+        kw64 = dict(kw, D=D64)
+        if on_tpu:
+            kw64["crop_hw"] = auto_crop_hw(
+                scene.Ps, scene.bbox_min, scene.bbox_max, D64,
+                cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
+            )
+        args64 = (
+            images, Ps, jnp.asarray(origins64), jnp.asarray(pair_idx64),
+            jnp.asarray(pair_w64),
+        )
+        out = cube_batch_step(*args64, **kw64)
+        float(jnp.sum(out[1]))
+        best64 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sums = [
+                jnp.sum(cube_batch_step(*args64, **kw64)[1])
+                for _ in range(n_iters)
+            ]
+            float(sum(sums))
+            best64 = min(best64, time.perf_counter() - t0)
+        cubes_per_s_64 = B64 * n_iters / best64
+    except Exception as e:  # 64^3 must not take down the headline metric
+        import sys
+
+        print(f"bench: 64^3 point failed: {e!r}", file=sys.stderr)
+
+    baseline_est = 5.0  # cubes/s, documented estimate (see module docstring)
+    rec = {
+        "metric": "inference_cubes_per_s_per_chip",
+        "value": round(cubes_per_s, 2),
+        "unit": "cubes/s (32^3 voxels, 5 view pairs, full model)",
+        "vs_baseline": round(cubes_per_s / baseline_est, 2),
+        "conv_gflops_per_item": round(flops_per_item / 1e9, 2),
+        "model_fwd_items_per_s": round(fwd_items_per_s, 1),
+        "model_fwd_mfu_pct": round(fwd_mfu, 1),
+        "e2e_mfu_pct": round(e2e_mfu, 1),
+        "mxu_lane_ceiling_pct": round(100.0 * fm.mxu_ceiling(), 1),
+        "peak_tflops": peak,
+    }
+    if cubes_per_s_64 is not None:
+        rec["cubes_per_s_64"] = round(cubes_per_s_64, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,20 +1,28 @@
 """Scaling report over mesh sizes (BASELINE target: >=80% weak-scaling
 efficiency at N>=2 hosts on real multi-chip slices).
 
-Fixed total scene => STRONG scaling: efficiency(n) = T(1) / (n * T(n)).
-On the CPU-emulated mesh the virtual devices SHARE the same physical cores,
-so throughput numbers are not meaningful — the emulated run validates that
-the sharded path executes correctly at every mesh size; real efficiency
-must be measured on a multi-chip slice (the driver's multichip dry run
-compiles the same program).
+Modes:
+  * weak (default, the BASELINE metric): scene volume grows with the
+    device count (bbox extended along x, prefilter off so work ~ volume);
+    efficiency(n) = throughput(n) / (n * throughput(1)).
+  * strong: fixed scene; efficiency(n) = T(1) / (n * T(n)).
 
-CPU emulation: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    python scripts/scaling_report.py
+On the CPU-emulated mesh the virtual devices SHARE the same physical
+cores, so throughput numbers are correctness/shape-only — the emulated run
+validates that the sharded path executes at every mesh size; real
+efficiency needs a multi-chip slice (none is attached to this
+environment; the driver's multichip dry run compiles the same program).
+The JSON artifact records that caveat explicitly.
+
+CPU emulation:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/scaling_report.py --out SCALING_r02.json
 """
 
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
 import functools
 import json
 import time
@@ -25,6 +33,12 @@ P = functools.partial(print, flush=True)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["weak", "strong"], default="weak")
+    ap.add_argument("--out", default=None, help="write JSON artifact here")
+    ap.add_argument("--sizes", type=int, nargs="*", default=None)
+    args = ap.parse_args()
+
     import jax
 
     from surfacenet_tpu.config import (
@@ -37,11 +51,17 @@ def main():
     from surfacenet_tpu.utils.observability import scaling_efficiency
 
     n_dev = len(jax.devices())
-    P(f"devices: {n_dev} x {jax.devices()[0].platform}")
+    platform = jax.devices()[0].platform
+    P(f"devices: {n_dev} x {platform}")
 
     scene = make_sphere_scene(n_views=8, hw=(240, 320), radius=30.0)
+    base_min = np.asarray(scene.bbox_min, np.float64)
+    base_max = np.asarray(scene.bbox_max, np.float64)
+    base_extent = base_max - base_min
+
     results = {}
-    sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
+    cubes_done = {}
+    sizes = args.sizes or [n for n in (1, 2, 4, 8) if n <= n_dev]
     for n in sizes:
         cfg = Config(
             voxel=VoxelConfig(voxel_size_mm=1.0, cube_size=16, overlap=4),
@@ -49,35 +69,61 @@ def main():
                 n_view_pairs=3, tau=0.3, gamma=0.6,
                 ray_pool_mode="affine",
             ),
-            sweep=SweepConfig(cube_batch=8),
+            sweep=SweepConfig(
+                cube_batch=8, prefilter=(args.mode == "strong")
+            ),
         )
-        mesh = make_mesh(n_block=1, devices=jax.devices()[:n])
+        bbox_max = base_max.copy()
+        if args.mode == "weak":
+            # scene volume ~ n: extend along x; prefilter is off so every
+            # cube does the full gather+model work regardless of content.
+            bbox_max[0] = base_min[0] + base_extent[0] * n
+        # block axis shards the scene; with 1 device it degenerates to DP.
+        n_block = min(n, 2) if n > 1 else 1
+        mesh = make_mesh(n_block=n_block, devices=jax.devices()[:n])
         # warm-up (compile) round
         run_sweep_sharded(
-            scene.images, scene.Ps, scene.bbox_min, scene.bbox_max,
+            scene.images, scene.Ps, base_min, bbox_max,
             cfg, photoconsistency_predictor, mesh=mesh,
         )
-        t0 = time.perf_counter()
         store, stats = run_sweep_sharded(
-            scene.images, scene.Ps, scene.bbox_min, scene.bbox_max,
+            scene.images, scene.Ps, base_min, bbox_max,
             cfg, photoconsistency_predictor, mesh=mesh,
         )
         results[n] = stats.n_cubes_after_prefilter / stats.wall_s
+        cubes_done[n] = stats.n_cubes_after_prefilter
         P(f"n={n}: {results[n]:.1f} cubes/s "
           f"({stats.n_cubes_after_prefilter} cubes, {stats.wall_s:.2f}s)")
 
-    eff = scaling_efficiency(results)  # == strong-scaling eff. (fixed work)
+    if args.mode == "weak":
+        base_n = min(results)
+        eff = {
+            n: results[n] / (results[base_n] * n / base_n) for n in results
+        }
+    else:
+        eff = scaling_efficiency(results)
     caveat = (
-        "emulated-CPU mesh shares physical cores; efficiencies not "
-        "meaningful" if jax.devices()[0].platform == "cpu" else "real chips"
+        "correctness/shape only — emulated CPU mesh shares physical "
+        "cores, so efficiency numbers do not reflect chip scaling"
+        if platform == "cpu"
+        else "real chips"
     )
-    P(json.dumps({
+    rec = {
+        "mode": args.mode,
+        "platform": platform,
+        "n_devices_available": n_dev,
         "cubes_per_s": {str(k): round(v, 2) for k, v in results.items()},
-        "strong_scaling_efficiency": {
+        "cubes_processed": {str(k): int(v) for k, v in cubes_done.items()},
+        f"{args.mode}_scaling_efficiency": {
             str(k): round(v, 3) for k, v in eff.items()
         },
         "caveat": caveat,
-    }))
+    }
+    P(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
+        P(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -184,3 +184,113 @@ def init_surfacenet(
     dummy = jnp.zeros((1, D, D, D, cfg.in_channels), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return model, variables
+
+
+def fold_bn(
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold inference BatchNorm into the preceding conv's weights.
+
+    y = gamma * (conv(x) - mu) / sqrt(var + eps) + beta
+      = conv(x; W * gamma/sigma) + (beta - mu * gamma/sigma)
+    """
+    inv = scale / jnp.sqrt(var + eps)
+    return kernel * inv, bias - mean * inv
+
+
+def fused_infer_apply(
+    cfg: ModelConfig,
+    variables: Any,
+    x: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference forward with conv+BN+relu fused into the Pallas
+    implicit-GEMM conv3d kernel (ops/pallas/conv3d.py).
+
+    Semantically equal to SurfaceNet.apply(train=False) (parity-tested):
+    BatchNorm running stats are folded into each conv's weights/bias, so a
+    whole conv+BN+relu is one kernel launch — one HBM read and write per
+    conv instead of XLA's conv + BN + relu chain, and the MXU contracts
+    over the full 27*Cin im2col depth.  Blocks whose volume exceeds the
+    VMEM budget fall back to XLA inside conv3d_fused.
+    """
+    from surfacenet_tpu.ops.pallas.conv3d import conv3d_fused
+
+    if cfg.upsample_mode == "deconv":
+        raise NotImplementedError(
+            "fused inference supports upsample_mode='resize'; use "
+            "SurfaceNet.apply for deconv side layers"
+        )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    dt = _dtype(cfg.dtype)
+    x = x.astype(dt)
+
+    def conv_params(scope, stat_scope, name, bn_name):
+        k = scope[name]["kernel"]
+        if cfg.use_batchnorm:
+            bn = scope[bn_name]
+            st = stat_scope[bn_name]
+            return fold_bn(
+                k, bn["scale"], bn["bias"], st["mean"], st["var"]
+            )
+        return k, scope[name].get(
+            "bias", jnp.zeros((k.shape[-1],), jnp.float32)
+        )
+
+    sides = []
+    scale = 1
+    for b, (ch, nconv, dil, do_pool) in enumerate(
+        zip(
+            cfg.block_channels,
+            cfg.convs_per_block,
+            cfg.dilations,
+            cfg.pool_after_block,
+        )
+    ):
+        bp = params[f"ConvBlock_{b}"]
+        bs = stats.get(f"ConvBlock_{b}", {})
+        for i in range(nconv):
+            w, bias = conv_params(bp, bs, f"Conv_{i}", f"BatchNorm_{i}")
+            x = conv3d_fused(
+                x, w, bias, dil=dil, relu=True, interpret=interpret
+            ).astype(dt)
+
+        # side layer: 1^3 conv (a matmul) + folded BN + relu + resize
+        sp = params[f"SideLayer_{b}"]
+        ss = stats.get(f"SideLayer_{b}", {})
+        sw, sb = conv_params(sp, ss, "Conv_0", "BatchNorm_0")
+        side = (
+            jnp.einsum(
+                "bdhwc,co->bdhwo", x, sw[0, 0, 0].astype(dt)
+            )
+            + sb.astype(dt)
+        )
+        side = jnp.maximum(side, 0)
+        if scale > 1:
+            bsz, d1, d2, d3, c = side.shape
+            side = jax.image.resize(
+                side,
+                (bsz, d1 * scale, d2 * scale, d3 * scale, c),
+                method="trilinear",
+            )
+        sides.append(side)
+
+        if do_pool:
+            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            scale *= 2
+
+    h = jnp.concatenate(sides, axis=-1)
+    fw = params["Conv_0"]["kernel"]
+    fb = params["Conv_0"]["bias"]
+    logits = (
+        jnp.einsum("bdhwc,co->bdhwo", h, fw[0, 0, 0].astype(dt))
+        + fb.astype(dt)
+    )
+    logits = logits[..., 0].astype(jnp.float32)
+    return jax.nn.sigmoid(logits)

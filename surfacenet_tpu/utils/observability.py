@@ -91,6 +91,37 @@ class FlopModel:
             * items_per_s / 1e12 / peak
         )
 
+    def mxu_ceiling(self, lane: int = 128) -> float:
+        """Achievable fraction of peak given MXU lane padding (roofline).
+
+        The MXU contracts onto ``lane`` output lanes per pass; a conv with
+        cout output channels can use at most cout / (ceil(cout/lane)*lane)
+        of them — e.g. 32ch -> 25%, 80ch -> 62.5%, 300ch -> 78%.  The
+        FLOP-weighted average over the conv stack is the hard ceiling any
+        implementation (XLA or Pallas) faces at these channel widths; use
+        it as the denominator when judging kernel quality, and as the
+        motivation for the MXU-aligned model preset.
+        """
+        total = 0.0
+        weighted = 0.0
+        res = self.D
+        cin = self.cfg.in_channels
+        for ch, nc, dil, pool in zip(
+            self.cfg.block_channels,
+            self.cfg.convs_per_block,
+            self.cfg.dilations,
+            self.cfg.pool_after_block,
+        ):
+            eff = ch / (-(-ch // lane) * lane)
+            for _ in range(nc):
+                f = 2 * 27 * cin * ch * res**3
+                total += f
+                weighted += f * eff
+                cin = ch
+            if pool:
+                res //= 2
+        return weighted / total if total else 0.0
+
 
 class Metrics:
     """Structured metrics sink: counters, gauges, stage timers."""
