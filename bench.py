@@ -47,12 +47,12 @@ def main():
     images = jnp.asarray(scene.images, jnp.float32)
     Ps = jnp.asarray(scene.Ps, jnp.float32)
 
+    from surfacenet_tpu.models.surfacenet import make_predictor
+
     model, variables = init_surfacenet(
         cfg.model, jax.random.PRNGKey(0), D=D
     )
-
-    def predict(x, origins):
-        return model.apply(variables, x, train=False)
+    predict = make_predictor(model, variables, cfg.model)
 
     # cube batch on the sphere surface (non-trivial content)
     pts = scene.surface_points(BATCH, seed=1)
@@ -124,7 +124,7 @@ def main():
     # model-forward stage alone (same item count as one e2e batch)
     n_items = BATCH * cfg.fusion.n_view_pairs
     x_fwd = jnp.zeros((n_items, D, D, D, cfg.model.in_channels), jnp.float32)
-    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    fwd = jax.jit(lambda x: predict(x, None))  # same path as the sweep
     float(jnp.sum(fwd(x_fwd)))
     best_fwd = float("inf")
     for _ in range(3):

@@ -67,7 +67,7 @@ def _load_predictor(checkpoint, cfg):
         print("no checkpoint: using photoconsistency predictor")
         return photoconsistency_predictor
 
-    from surfacenet_tpu.models.surfacenet import SurfaceNet
+    from surfacenet_tpu.models.surfacenet import SurfaceNet, make_predictor
     from surfacenet_tpu.train.train_surface import (
         load_pretrained, restore_checkpoint,
     )
@@ -86,10 +86,7 @@ def _load_predictor(checkpoint, cfg):
         }
         print(f"using checkpoint step {step}")
 
-    def predictor(x, origins):
-        return model.apply(variables, x, train=False)
-
-    return predictor
+    return make_predictor(model, variables, cfg.model)
 
 
 def _make_pair_selector(pairnet_dir, cfg, scan):

@@ -59,6 +59,10 @@ class ModelConfig:
     # ~half the network's FLOPs; "resize" = trilinear resize (cheap,
     # equivalent receptive field, trains from scratch equally well).
     upsample_mode: str = "resize"
+    # Inference: fold BatchNorm into conv weights and run the Pallas
+    # implicit-GEMM conv3d kernel (TPU only; models/surfacenet.py
+    # fused_infer_apply).  Ignored on CPU backends.
+    fused_inference: bool = True
 
     @staticmethod
     def tiny() -> "ModelConfig":

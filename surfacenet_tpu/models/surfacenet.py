@@ -186,6 +186,32 @@ def init_surfacenet(
     return model, variables
 
 
+def make_predictor(model, variables, cfg: ModelConfig):
+    """Sweep predictor for a trained model: fused Pallas inference on TPU.
+
+    Uses fused_infer_apply (BN-folded Pallas conv3d) when the backend and
+    model config support it (TPU, resize side layers, fused_inference not
+    disabled); plain model.apply otherwise.  The returned callable has the
+    pipeline.sweep.Predictor signature.
+    """
+    use_fused = (
+        cfg.fused_inference
+        and jax.default_backend() != "cpu"
+        and cfg.upsample_mode == "resize"
+    )
+    if use_fused:
+
+        def predictor(x, origins):
+            return fused_infer_apply(cfg, variables, x)
+
+    else:
+
+        def predictor(x, origins):
+            return model.apply(variables, x, train=False)
+
+    return predictor
+
+
 def fold_bn(
     kernel: jnp.ndarray,
     scale: jnp.ndarray,

@@ -142,15 +142,18 @@ def resolve_backend_config(cfg: Config) -> Config:
 
 
 def resolve_pool_window(cfg: Config) -> int:
-    """Effective ray-max window (voxels): -1 = auto from the sweep overlap.
+    """Effective ray-max window (voxels): -1 = auto.
 
-    Auto picks overlap//2 (>= 2): the largest window for which every
-    claimed voxel's comparison window is contained in its own cube, making
-    boundary pooling exact without halo communication.
+    Auto picks min(2, overlap//2) (floor 1): large enough to suppress
+    peak shoulders and near-face ghosts, small enough not to eat thin
+    structures (the window must stay below the smallest surface-to-surface
+    separation IN VOXELS — at very coarse voxelizations of thin geometry,
+    set pool_window_vox=1 explicitly; see tests/test_golden_tori.py).
+    Claims are exact without halo communication while overlap >= 2*window.
     """
     w = cfg.fusion.pool_window_vox
     if w < 0:
-        w = max(2, cfg.voxel.overlap // 2)
+        w = max(1, min(2, cfg.voxel.overlap // 2))
     return w
 
 
