@@ -60,6 +60,13 @@ def main():
         ("D32_b3b", 160, 8, 300, 300, 2),
         ("D64_b2", 20, 16, 80, 160, 1),
         ("D64_b3b", 20, 16, 300, 300, 2),
+        # MXU-aligned widths (ModelConfig.mxu_aligned): lane-aligned im2col
+        # column offsets AND full output lanes — the TPU-native operating
+        # point (see ROOFLINE.md).
+        ("A_b1", 160, 16, 128, 128, 1),
+        ("A_b2", 160, 8, 128, 256, 1),
+        ("A_b2b", 160, 8, 256, 256, 1),
+        ("A_b3", 160, 8, 256, 256, 2),
     ]
     for label, B, R, cin, cout, dil in shapes:
         need = vmem_estimate(R, cin, cout)

@@ -84,9 +84,17 @@ def load_scan(
             pat = os.path.join(scan_dir, "rect_*.png")
             img_paths = sorted(glob.glob(pat))
         cal_dir = os.path.join(scan_dir, "cal")
+        parent = os.path.dirname(os.path.normpath(scan_dir))
         for cand in (
             cal_dir,
-            os.path.join(os.path.dirname(scan_dir), "Calibration", "cal18"),
+            # sibling of the scan dir, and the real SampleSet layout where
+            # Calibration/cal18 is a sibling of the Rectified/ folder:
+            #   SampleSet/MVS Data/Rectified/scan6/rect_*.png
+            #   SampleSet/MVS Data/Calibration/cal18/pos_*.txt
+            os.path.join(parent, "Calibration", "cal18"),
+            os.path.join(
+                os.path.dirname(parent), "Calibration", "cal18"
+            ),
             os.path.join(scan_dir, "pos"),
         ):
             if os.path.isdir(cand):
@@ -158,6 +166,40 @@ def write_scan(
             os.path.join(scan_dir, "bbox.txt"),
             np.stack([bbox_min, bbox_max]),
         )
+
+
+def write_scan_sampleset(
+    root: str,
+    scan_name: str,
+    images: np.ndarray,
+    Ps: np.ndarray,
+    light: str = "3",
+) -> str:
+    """Write a scan in the real DTU SampleSet layout (full-fidelity fixture).
+
+    Produces::
+
+        root/Rectified/<scan_name>/rect_001_<light>_r5000.png   (1-indexed)
+        root/Calibration/cal18/pos_001.txt
+
+    and returns the scan directory path (``root/Rectified/<scan_name>``)
+    for ``load_scan`` / ``reconstruct-all``.
+    """
+    from PIL import Image
+
+    scan_dir = os.path.join(root, "Rectified", scan_name)
+    cal_dir = os.path.join(root, "Calibration", "cal18")
+    os.makedirs(scan_dir, exist_ok=True)
+    os.makedirs(cal_dir, exist_ok=True)
+    for i, (img, P) in enumerate(zip(images, Ps), start=1):
+        u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(u8).save(
+            os.path.join(scan_dir, f"rect_{i:03d}_{light}_r5000.png")
+        )
+        write_projection_matrix(
+            os.path.join(cal_dir, f"pos_{i:03d}.txt"), P
+        )
+    return scan_dir
 
 
 # DTU eval-split scan ids used by the reference benchmark (paper SS6).

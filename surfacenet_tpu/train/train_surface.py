@@ -52,7 +52,36 @@ def create_train_state(cfg: Config, rng: jax.Array) -> Tuple[SurfaceNet, TrainSt
     return model, state
 
 
-@functools.partial(jax.jit, static_argnames=("D", "s", "balanced", "center_colors"))
+def _gather_cvcs(
+    images, Ps, pair_idx, origins, D, s, center_colors,
+    use_pallas, crop_hw,
+):
+    """CVC-pair batch via the Pallas warp-gather kernel (TPU) or XLA.
+
+    The gather is parameter-free (no grads flow into it), so the same
+    kernel serves training and inference (SURVEY.md SS2(a) applies to the
+    training gather too — VERDICT r1 weak #5).
+    """
+    if use_pallas:
+        from surfacenet_tpu.ops.pallas.warp_gather import (
+            build_cvc_batch_pallas,
+        )
+
+        return build_cvc_batch_pallas(
+            images, Ps, pair_idx, origins, D, s, center_colors,
+            CH=crop_hw[0], CW=crop_hw[1],
+        )
+    return build_cvc_batch(
+        images, Ps, pair_idx, origins, D, s, center_colors
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "D", "s", "balanced", "center_colors", "use_pallas", "crop_hw",
+    ),
+)
 def train_step(
     state: TrainState,
     images: jnp.ndarray,  # (V, H, W, 3)
@@ -65,11 +94,14 @@ def train_step(
     s: float,
     balanced: bool,
     center_colors: bool,
+    use_pallas: bool = False,
+    crop_hw: tuple = (192, 256),
 ) -> Tuple[TrainState, jnp.ndarray]:
     """One fused CVC-gather + forward + backward + update step."""
 
-    x, valid = build_cvc_batch(
-        images, Ps, pair_idx, origins, D, s, center_colors
+    x, valid = _gather_cvcs(
+        images, Ps, pair_idx, origins, D, s, center_colors,
+        use_pallas, crop_hw,
     )
 
     def loss_fn(params):
@@ -91,15 +123,20 @@ def train_step(
     return state, loss
 
 
-@functools.partial(jax.jit, static_argnames=("D", "s", "center_colors"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("D", "s", "center_colors", "use_pallas", "crop_hw"),
+)
 def eval_step(
     state: TrainState,
     images, Ps, origins, pair_idx, labels,
     *, D: int, s: float, center_colors: bool,
+    use_pallas: bool = False, crop_hw: tuple = (192, 256),
 ):
     """Loss + IoU@0.5 on a batch without updating state."""
-    x, valid = build_cvc_batch(
-        images, Ps, pair_idx, origins, D, s, center_colors
+    x, valid = _gather_cvcs(
+        images, Ps, pair_idx, origins, D, s, center_colors,
+        use_pallas, crop_hw,
     )
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -189,6 +226,31 @@ def train_surfacenet(
     Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
     n_steps = n_steps if n_steps is not None else cfg.train.n_steps
 
+    # Pallas warp-gather for the training CVCs (TPU): one crop size across
+    # all scenes so every step shares a single compiled program.
+    use_pallas = bool(
+        cfg.sweep.use_pallas_gather and jax.default_backend() != "cpu"
+    )
+    crop_hw = (192, 256)
+    if use_pallas:
+        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+
+        crops = []
+        for sc in scenes:
+            if getattr(sc, "bbox_min", None) is None:
+                continue
+            crops.append(
+                auto_crop_hw(
+                    np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
+                    cfg.voxel.cube_size, cfg.voxel.voxel_size_mm,
+                    sc.images.shape[1:3],
+                )
+            )
+        if crops:
+            crop_hw = (
+                max(c[0] for c in crops), max(c[1] for c in crops)
+            )
+
     log = TrainLog(steps=[], losses=[])
     for step in range(n_steps):
         si = step % len(scenes)
@@ -203,6 +265,8 @@ def train_surfacenet(
             s=cfg.voxel.voxel_size_mm,
             balanced=cfg.train.class_balance,
             center_colors=cfg.voxel.center_colors,
+            use_pallas=use_pallas,
+            crop_hw=crop_hw,
         )
         if step % log_every == 0 or step == n_steps - 1:
             log.steps.append(step)

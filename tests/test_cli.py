@@ -192,3 +192,31 @@ def test_train_pairnet_cli_then_reconstruct(tmp_path, small_scene):
 
     pts, _ = read_ply(out)
     assert len(pts) > 50
+
+
+def test_reconstruct_all_cli_sampleset(tmp_path, small_scene):
+    """reconstruct-all drives the real DTU SampleSet layout end-to-end
+    (rect_* naming, 1-indexed pos files, Calibration/cal18 discovery)."""
+    import json
+    import os
+
+    from surfacenet_tpu.data.dtu import write_scan_sampleset
+
+    scan_dir = write_scan_sampleset(
+        str(tmp_path), "scan6", small_scene.images, small_scene.Ps
+    )
+    out_dir = str(tmp_path / "out")
+    main(
+        [
+            "reconstruct-all", "--scans", scan_dir, "--out-dir", out_dir,
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    rep = json.load(open(os.path.join(out_dir, "report.json")))
+    assert rep["scan6"]["points"] > 0
+    assert os.path.exists(os.path.join(out_dir, "scan6.ply"))

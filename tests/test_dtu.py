@@ -49,3 +49,22 @@ def test_scan_downsample(tmp_path, small_scene):
     uv1, _ = project(jnp.asarray(small_scene.Ps[0]), pt)
     uv2, _ = project(jnp.asarray(scan.Ps[0]), pt)
     assert np.allclose(np.asarray(uv1) / 2, np.asarray(uv2), atol=1e-5)
+
+
+def test_sampleset_layout_roundtrip(tmp_path, small_scene):
+    """Full-fidelity DTU SampleSet: rect_###_<light>_r5000.png (1-indexed)
+    + sibling Calibration/cal18/pos_###.txt discovery."""
+    from surfacenet_tpu.data.dtu import write_scan_sampleset
+
+    scan_dir = write_scan_sampleset(
+        str(tmp_path), "scan6", small_scene.images, small_scene.Ps
+    )
+    assert scan_dir.endswith("Rectified/scan6")
+    scan = load_scan(scan_dir)
+    assert scan.images.shape == small_scene.images.shape
+    assert np.abs(scan.images - small_scene.images).max() < 1 / 128
+    assert np.allclose(scan.Ps, small_scene.Ps, rtol=1e-8)
+
+    # lighting-condition filter: only the requested light's images load
+    scan2 = load_scan(scan_dir, light="3")
+    assert scan2.images.shape[0] == small_scene.images.shape[0]
