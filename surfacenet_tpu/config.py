@@ -61,8 +61,13 @@ class ModelConfig:
     upsample_mode: str = "resize"
     # Inference: fold BatchNorm into conv weights and run the Pallas
     # implicit-GEMM conv3d kernel (TPU only; models/surfacenet.py
-    # fused_infer_apply).  Ignored on CPU backends.
-    fused_inference: bool = True
+    # fused_infer_apply).  Ignored on CPU backends.  Default OFF: measured
+    # on v5e (scripts/conv_kernel_bench.py + A/B in ARCHITECTURE.md), the
+    # per-block Pallas kernel is at parity with XLA's conv, but the whole-
+    # network XLA program wins end-to-end (36.5 ms vs 102.8 ms per
+    # 160-item 32^3 batch) — the in-kernel im2col VPU copies don't amortize
+    # at SurfaceNet's small per-block resolutions.  Opt in per-config.
+    fused_inference: bool = False
 
     @staticmethod
     def tiny() -> "ModelConfig":

@@ -187,11 +187,12 @@ def init_surfacenet(
 
 
 def make_predictor(model, variables, cfg: ModelConfig):
-    """Sweep predictor for a trained model: fused Pallas inference on TPU.
+    """Sweep predictor for a trained model.
 
-    Uses fused_infer_apply (BN-folded Pallas conv3d) when the backend and
-    model config support it (TPU, resize side layers, fused_inference not
-    disabled); plain model.apply otherwise.  The returned callable has the
+    Default: plain model.apply — one whole-network XLA program (measured
+    fastest on v5e, see ModelConfig.fused_inference).  Opt-in
+    fused_infer_apply (BN-folded Pallas conv3d) when the model config asks
+    for it (TPU, resize side layers).  The returned callable has the
     pipeline.sweep.Predictor signature.
     """
     use_fused = (
