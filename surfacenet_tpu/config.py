@@ -70,6 +70,24 @@ class ModelConfig:
     fused_inference: bool = False
 
     @staticmethod
+    def mxu_aligned() -> "ModelConfig":
+        """Lane-aligned channel widths: the TPU-native operating point.
+
+        The paper widths (32/80/160/300) waste MXU output lanes — the
+        FLOP-weighted lane ceiling is 59.3% of peak (ROOFLINE.md).  This
+        variant pins every block to a multiple of 128 lanes (ceiling
+        100%); measured per-block utilization on v5e rises from 11-40%
+        to 42-47% (results/conv_kernel_bench_r02.json, A_* rows).  More
+        capacity per FLOP-dollar when training from scratch on TPU;
+        paper-parity experiments should keep the default widths.
+        """
+        return ModelConfig(
+            block_channels=(128, 128, 256, 256),
+            convs_per_block=(2, 2, 2, 2),
+            side_channels=16,
+        )
+
+    @staticmethod
     def tiny() -> "ModelConfig":
         """Small config for tests / CPU (fast compile, same topology)."""
         return ModelConfig(

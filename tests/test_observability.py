@@ -21,6 +21,18 @@ def test_flop_model_counts():
     assert fm.utilization(200.0) > fm.utilization(100.0)
 
 
+def test_mxu_lane_ceiling():
+    # paper widths: FLOP-weighted lane ceiling sits strictly between the
+    # worst (25% for 32ch) and best (78.1% for 300ch) per-shape lids
+    fm = FlopModel(ModelConfig(), D=32)
+    c = fm.mxu_ceiling()
+    assert 0.25 < c < 0.781
+    assert abs(c - 0.593) < 0.01  # the ROOFLINE.md headline number
+    # lane-aligned preset: every block a multiple of 128 -> ceiling 1.0
+    fa = FlopModel(ModelConfig.mxu_aligned(), D=32)
+    assert fa.mxu_ceiling() == 1.0
+
+
 def test_metrics_counters_and_timer(tmp_path):
     m = Metrics(path=str(tmp_path / "metrics.jsonl"))
     m.count("cubes", 5)
