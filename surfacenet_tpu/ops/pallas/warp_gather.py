@@ -122,12 +122,18 @@ def _warp_kernel(
 
         # per channel: (CH, CW) x (CH, PC) -> (CW, PC) on the MXU
         # (contraction over CH = rows of both operands), then a VPU
-        # multiply-reduce over CW against hatW.
+        # multiply-reduce over CW against hatW.  The matmul runs at the
+        # crop dtype (bf16 by default: f32 MXU matmuls cost ~6 bf16 passes
+        # and this contraction is the kernel's entire FLOP budget; the
+        # sources are 8-bit images, so bf16's 8-bit mantissa loses nothing)
+        # with f32 accumulation.
+        dt = crop_ref.dtype
+        hatVc = hatV.astype(dt)
         for c in range(3):
             plane = crop_ref[0, c]  # (CH, CW)
             T = jax.lax.dot_general(
                 plane,
-                hatV,
+                hatVc,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (CW, PC)
@@ -173,7 +179,7 @@ def _compute_windows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "s", "CH", "CW", "PC", "interpret"),
+    static_argnames=("D", "s", "CH", "CW", "PC", "interpret", "in_dtype"),
 )
 def warp_gather_pallas(
     images: jnp.ndarray,  # (V, H, W, 3) f32
@@ -187,6 +193,7 @@ def warp_gather_pallas(
     CW: int = 256,
     PC: int = 1024,
     interpret: bool = False,
+    in_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas CVC gather for a batch of (cube, view) work items.
 
@@ -194,6 +201,12 @@ def warp_gather_pallas(
     whose projection falls outside the crop window are invalid (callers pick
     CH/CW to cover the footprint for their geometry; see ops/cvc.py oracle
     which has no such window).
+
+    ``in_dtype`` is the crop-streaming/matmul dtype.  bf16 (default) halves
+    the crop DMA traffic and runs the bilinear contraction at the MXU's
+    native rate; max color error vs the f32 oracle is ~1% of full scale
+    (the sources are 8-bit images).  Pass ``jnp.float32`` for oracle-exact
+    sampling.
     """
     V, H, W, _ = images.shape
     images_planar = jnp.moveaxis(images, -1, 1)  # (V, 3, H, W)
@@ -215,6 +228,7 @@ def warp_gather_pallas(
         )
 
     crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
+    crops = crops.astype(in_dtype)
 
     # 2D grid: (item, point-chunk).  Output blocks are per-chunk so VMEM
     # stays bounded at any D (64^3 would need a 25 MB per-item block
@@ -320,6 +334,7 @@ def build_cvc_batch_pallas(
     interpret: bool = False,
     CH: int = 192,
     CW: int = 256,
+    in_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.cvc.build_cvc_batch using the kernel.
 
@@ -330,7 +345,7 @@ def build_cvc_batch_pallas(
     flat_origins = jnp.concatenate([origins, origins], axis=0)
     colors, valid = warp_gather_pallas(
         images, Ps, flat_views.astype(jnp.int32), flat_origins,
-        D=D, s=s, CH=CH, CW=CW, interpret=interpret,
+        D=D, s=s, CH=CH, CW=CW, interpret=interpret, in_dtype=in_dtype,
     )
     ca, cb = colors[:B], colors[B:]
     va, vb = valid[:B], valid[B:]

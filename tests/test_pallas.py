@@ -33,7 +33,7 @@ def test_warp_gather_matches_oracle(scene):
 
     colors, valid = warp_gather_pallas(
         images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=128,
-        interpret=True,
+        interpret=True, in_dtype=jnp.float32,
     )
 
     # oracle: build_cvc (uncentered) per item
@@ -53,6 +53,38 @@ def test_warp_gather_matches_oracle(scene):
         assert np.abs(got[both] - np.asarray(ref)[both]).max() < 1e-4
 
 
+def test_warp_gather_bf16_default_tolerance(scene):
+    """The production default streams crops in bf16; colors must stay
+    within ~1 LSB of an 8-bit source (<1% of full scale) of the f32
+    oracle."""
+    D, s = 8, 4.0
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    origins = jnp.asarray(
+        np.array([[-16.0, -16.0, -16.0], [-8.0, 0.0, 0.0]], np.float32)
+    )
+    views = jnp.asarray(np.array([0, 2], np.int32))
+
+    colors, valid = warp_gather_pallas(
+        images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=128,
+        interpret=True,
+    )
+
+    from surfacenet_tpu.ops.cvc import build_cvc
+
+    for b in range(2):
+        ref, ref_valid = build_cvc(
+            images[views[b]], Ps[views[b]], origins[b], D, s,
+            center_colors=False,
+        )
+        gv = np.asarray(valid[b])
+        rv = np.asarray(ref_valid)
+        assert (gv == rv).mean() > 0.999
+        both = gv & rv
+        err = np.abs(np.asarray(colors[b]) - np.asarray(ref))[both]
+        assert err.max() < 1e-2, f"item {b}: bf16 err {err.max()}"
+
+
 def test_build_cvc_batch_pallas_matches_oracle(scene):
     D, s = 8, 4.0
     images = jnp.asarray(scene.images)
@@ -67,7 +99,7 @@ def test_build_cvc_batch_pallas_matches_oracle(scene):
     )
     x_pal, v_pal = build_cvc_batch_pallas(
         images, Ps, pair_idx, origins, D, s, center_colors=True,
-        interpret=True, CH=96, CW=128,
+        interpret=True, CH=96, CW=128, in_dtype=jnp.float32,
     )
     v_ref = np.asarray(v_ref)
     v_pal = np.asarray(v_pal)
@@ -88,7 +120,7 @@ def test_warp_gather_64_cube(scene):
 
     colors, valid = warp_gather_pallas(
         images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=2048,
-        interpret=True,
+        interpret=True, in_dtype=jnp.float32,
     )
     from surfacenet_tpu.ops.cvc import build_cvc
 
