@@ -151,8 +151,11 @@ def main():
         )
         kw64 = dict(kw, D=D64)
         if on_tpu:
+            from surfacenet_tpu.ops.pallas.warp_gather import gather_tile_d
+
             kw64["crop_hw"] = auto_crop_hw(
-                scene.Ps, scene.bbox_min, scene.bbox_max, D64,
+                scene.Ps, scene.bbox_min, scene.bbox_max,
+                gather_tile_d(D64),
                 cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
             )
         args64 = (

@@ -270,6 +270,79 @@ def warp_gather_pallas(
     return colors, validb
 
 
+def gather_tile_d(D: int) -> int:
+    """Per-gather-item cube side used by ``warp_gather_tiled``.
+
+    Large cubes are gathered as 32^3 sub-cubes: the kernel's interpolation
+    cost per voxel scales with the crop area CH*CW, and a 64^3 cube's
+    projected footprint is ~4x a 32^3 cube's — so tiling returns the
+    per-voxel gather cost to the 32^3 level (sub-cubes sample the same
+    global positions; the result is bit-identical up to crop windowing).
+    Callers must size CH/CW (auto_crop_hw) for THIS tile size, not D.
+    """
+    if D <= 32:
+        return D
+    for t in (32, 16, 8, 4):
+        if D % t == 0:
+            return t
+    return D
+
+
+def warp_gather_tiled(
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    view_idx: jnp.ndarray,  # (B,) int32
+    origins: jnp.ndarray,  # (B, 3) f32
+    *,
+    D: int,
+    s: float,
+    CH: int = 192,
+    CW: int = 256,
+    PC: int = 1024,
+    interpret: bool = False,
+    in_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``warp_gather_pallas`` with sub-cube tiling for large D (see
+    ``gather_tile_d``).  One kernel program (at the tile size) is traced
+    once and dispatched per octant, keeping the scalar-prefetch SMEM
+    footprint per call at the small-batch level."""
+    td = gather_tile_d(D)
+    if td == D:
+        return warp_gather_pallas(
+            images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
+            interpret=interpret, in_dtype=in_dtype,
+        )
+    t = D // td
+    B = view_idx.shape[0]
+    cs, vs = [], []
+    for oi in range(t):
+        for oj in range(t):
+            for ok in range(t):
+                off = jnp.asarray(
+                    [oi * td * s, oj * td * s, ok * td * s], jnp.float32
+                )
+                c, v = warp_gather_pallas(
+                    images, Ps, view_idx, origins + off, D=td, s=s,
+                    CH=CH, CW=CW, PC=PC, interpret=interpret,
+                    in_dtype=in_dtype,
+                )
+                cs.append(c)
+                vs.append(v)
+    colors = (
+        jnp.stack(cs, 0)
+        .reshape(t, t, t, B, td, td, td, 3)
+        .transpose(3, 0, 4, 1, 5, 2, 6, 7)
+        .reshape(B, D, D, D, 3)
+    )
+    valid = (
+        jnp.stack(vs, 0)
+        .reshape(t, t, t, B, td, td, td)
+        .transpose(3, 0, 4, 1, 5, 2, 6)
+        .reshape(B, D, D, D)
+    )
+    return colors, valid
+
+
 def auto_crop_hw(
     Ps: np.ndarray,
     bbox_min: np.ndarray,
@@ -343,7 +416,7 @@ def build_cvc_batch_pallas(
     B = pair_idx.shape[0]
     flat_views = pair_idx.T.reshape(-1)  # [a0..aB, b0..bB]
     flat_origins = jnp.concatenate([origins, origins], axis=0)
-    colors, valid = warp_gather_pallas(
+    colors, valid = warp_gather_tiled(
         images, Ps, flat_views.astype(jnp.int32), flat_origins,
         D=D, s=s, CH=CH, CW=CW, interpret=interpret, in_dtype=in_dtype,
     )

@@ -149,9 +149,11 @@ def run_sweep_sharded(
     # the crop window must be sized from the scene geometry once up front.
     crop_hw = (192, 256)
     if cfg.sweep.use_pallas_gather:
-        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+        from surfacenet_tpu.ops.pallas.warp_gather import (
+            auto_crop_hw, gather_tile_d,
+        )
 
-        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
+        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw)
 
     # round-robin: each round takes cube_batch*n_cube items from each block
     cursors = [0] * n_block

@@ -242,7 +242,7 @@ def cube_batch_step(
              color (Nc,D,D,D,3) f32).
     """
     from surfacenet_tpu.ops.cvc import build_cvc_views, center_cvc
-    from surfacenet_tpu.ops.pallas.warp_gather import warp_gather_pallas
+    from surfacenet_tpu.ops.pallas.warp_gather import warp_gather_tiled
 
     Nc = origins.shape[0]
     NB = Nc * n_pairs
@@ -253,7 +253,7 @@ def cube_batch_step(
     all_views = flat_pairs.T.reshape(-1)  # (2*NB,)
     all_origins = jnp.concatenate([flat_origins, flat_origins], axis=0)
     if use_pallas:
-        colors, valids = warp_gather_pallas(
+        colors, valids = warp_gather_tiled(
             images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s,
             CH=crop_hw[0], CW=crop_hw[1],
         )
@@ -524,10 +524,14 @@ def run_sweep(
 
     crop_hw = (192, 256)
     if cfg.sweep.use_pallas_gather:
-        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+        from surfacenet_tpu.ops.pallas.warp_gather import (
+            auto_crop_hw, gather_tile_d,
+        )
 
+        # crops are sized for the gather tile (large cubes are gathered as
+        # sub-cubes; see warp_gather_tiled), not the full cube footprint
         crop_hw = auto_crop_hw(
-            Ps, bbox_min, bbox_max, D, s, hw
+            Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
         )
 
     core_bounds = (

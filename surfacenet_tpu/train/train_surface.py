@@ -233,7 +233,9 @@ def train_surfacenet(
     )
     crop_hw = (192, 256)
     if use_pallas:
-        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+        from surfacenet_tpu.ops.pallas.warp_gather import (
+            auto_crop_hw, gather_tile_d,
+        )
 
         crops = []
         for sc in scenes:
@@ -242,7 +244,8 @@ def train_surfacenet(
             crops.append(
                 auto_crop_hw(
                     np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
-                    cfg.voxel.cube_size, cfg.voxel.voxel_size_mm,
+                    gather_tile_d(cfg.voxel.cube_size),
+                    cfg.voxel.voxel_size_mm,
                     sc.images.shape[1:3],
                 )
             )

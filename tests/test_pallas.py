@@ -134,6 +134,33 @@ def test_warp_gather_64_cube(scene):
     assert np.abs(np.asarray(colors[0])[both] - np.asarray(ref)[both]).max() < 1e-3
 
 
+def test_warp_gather_tiled_64_matches_oracle(scene):
+    """64^3 gather via 32^3 sub-cube tiling (the production large-D path):
+    must agree with the oracle despite per-octant crop windows."""
+    from surfacenet_tpu.ops.pallas.warp_gather import warp_gather_tiled
+
+    D, s = 64, 0.5
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    origins = jnp.asarray(np.array([[-16.0, -16.0, -16.0]], np.float32))
+    views = jnp.asarray(np.array([1], np.int32))
+
+    colors, valid = warp_gather_tiled(
+        images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=2048,
+        interpret=True, in_dtype=jnp.float32,
+    )
+    from surfacenet_tpu.ops.cvc import build_cvc
+
+    ref, rv = build_cvc(
+        images[1], Ps[1], origins[0], D, s, center_colors=False
+    )
+    gv = np.asarray(valid[0])
+    rv = np.asarray(rv)
+    assert (gv == rv).mean() > 0.999
+    both = gv & rv
+    assert np.abs(np.asarray(colors[0])[both] - np.asarray(ref)[both]).max() < 1e-3
+
+
 def test_affine_pool_pallas_matches_xla(scene):
     """Pallas affine ray pool vs the XLA affine oracle (interpret mode)."""
     from surfacenet_tpu.ops.pallas.affine_pool import (
