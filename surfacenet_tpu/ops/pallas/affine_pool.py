@@ -193,8 +193,12 @@ def ray_max_mask_affine_pallas(
         inv = tuple(int(i) + 1 for i in np.argsort(order))
         masks.append(jnp.transpose(m, (0,) + inv))
 
-    stacked = jnp.stack(masks)  # (3, N, D, D, D)
-    sel = jnp.take_along_axis(
-        stacked, axis[None, :, None, None, None], axis=0
-    )[0]
+    # per-item select between the three axis results.  Elementwise where
+    # chain, NOT take_along_axis: XLA lowers the latter to a gather over
+    # the full (3, N, D^3) stack (gathers are the pathological op on TPU;
+    # the whole kernel above exists to avoid them).
+    ax = axis[:, None, None, None]
+    sel = jnp.where(
+        ax == 0, masks[0], jnp.where(ax == 1, masks[1], masks[2])
+    )
     return sel > 0.5
