@@ -12,25 +12,33 @@ imported before test modules.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SURFACENET_TPU_TESTS=1 leaves the platform alone so tests/test_tpu_only.py
+# can run compiled on real hardware:
+#   SURFACENET_TPU_TESTS=1 python -m pytest tests/test_tpu_only.py
+# (the rest of the suite skips itself on non-8-device meshes as needed).
+_ON_TPU = os.environ.get("SURFACENET_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-# The axon sitecustomize may have already set the platform config; override
-# explicitly (works as long as no backend has been initialized yet).
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The axon sitecustomize may have already set the platform config;
+    # override explicitly (works as long as no backend is initialized yet).
+    jax.config.update("jax_platforms", "cpu")
 
-if jax.devices()[0].platform != "cpu" or len(jax.devices()) != 8:
-    raise RuntimeError(
-        f"expected 8 CPU devices for tests, got {jax.devices()}; a JAX "
-        "backend was initialized before tests/conftest.py ran"
-    )
+    if jax.devices()[0].platform != "cpu" or len(jax.devices()) != 8:
+        raise RuntimeError(
+            f"expected 8 CPU devices for tests, got {jax.devices()}; a JAX "
+            "backend was initialized before tests/conftest.py ran"
+        )
 
 import numpy as np
 import pytest
