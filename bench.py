@@ -139,7 +139,7 @@ def main():
     cubes_per_s_64 = None
     try:
         D64 = 64
-        B64 = 8  # 40 fwd items: measured 23.1% fwd MFU vs 14.7% at B64=4
+        B64 = 24  # sweet spot: 70.3 cubes/s vs 56.8 @16 / 57.6 @32 (v5e)
         pts64 = scene.surface_points(B64, seed=2)
         origins64 = (pts64 - D64 * cfg.voxel.voxel_size_mm / 2).astype(
             np.float32

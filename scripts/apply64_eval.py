@@ -71,7 +71,7 @@ def main():
     gt = scene.surface_points(8000)
     P(f"backend {jax.default_backend()}")
     run_point(scene, gt, D=32, cube_batch=32)
-    run_point(scene, gt, D=64, cube_batch=4)
+    run_point(scene, gt, D=64, cube_batch=24)
 
 
 if __name__ == "__main__":

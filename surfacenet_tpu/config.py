@@ -237,12 +237,17 @@ def baseline_config(name: str) -> Config:
             base.fusion, ray_pool_mode="affine_pallas"
         ),
     )
+    # cube_batch sweet spots measured on 1x v5e (ARCHITECTURE.md): 32 at
+    # D=32 (441 cubes/s), 24 at D=64 (70.3 vs 56.8 @16 / 57.6 @32).
+    b32 = dataclasses.replace(base.sweep, cube_batch=32)
+    b64 = dataclasses.replace(base.sweep, cube_batch=24)
     if name == "dtu9_single":  # config 1: 2-view CVC, 32^3, single threshold
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=32),
             fusion=dataclasses.replace(
                 base.fusion, n_view_pairs=1, adaptive_threshold=False
             ),
+            sweep=b32,
         )
     if name == "dtu9_full":  # config 2: multi-pair fusion + adaptive tau, 64^3
         return base.replace(
@@ -250,10 +255,12 @@ def baseline_config(name: str) -> Config:
             fusion=dataclasses.replace(
                 base.fusion, n_view_pairs=5, adaptive_threshold=True
             ),
+            sweep=b64,
         )
     if name == "dtu_eval_split":  # config 3: full eval split, 1 host
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=64),
+            sweep=b64,
         )
     if name == "highres_sharded":  # config 4: s=0.2mm multi-host sweep —
         # block_axis=2 shards the scene spatially; reconstruct routes it
@@ -263,9 +270,11 @@ def baseline_config(name: str) -> Config:
                 base.voxel, voxel_size_mm=0.2, cube_size=64
             ),
             mesh=dataclasses.replace(base.mesh, block_axis=2),
+            sweep=b64,
         )
     if name == "tanks_temples":  # config 5: stretch, COLMAP poses
         return base.replace(
             voxel=dataclasses.replace(base.voxel, voxel_size_mm=2.0, cube_size=64),
+            sweep=b64,
         )
     raise ValueError(f"unknown baseline config: {name}")
