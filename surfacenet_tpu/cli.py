@@ -150,10 +150,23 @@ def cmd_reconstruct(args):
 
     sharded = args.sharded or cfg.mesh.block_axis > 1
     if sharded:
+        # init the distributed runtime BEFORE the first backend touch
+        # (jax.devices()), or multi-host discovery cannot happen.
         from surfacenet_tpu.parallel.distributed import init_distributed
-        from surfacenet_tpu.parallel.sweep_sharded import run_sweep_sharded
 
         init_distributed()
+        import jax
+
+        n_dev = len(jax.devices())
+        n_block = max(cfg.mesh.block_axis, 1)
+        if n_dev < 2 or n_dev % n_block != 0:
+            print(
+                f"sharded sweep needs block_axis={n_block} to divide the "
+                f"{n_dev} available device(s); running unsharded instead"
+            )
+            sharded = False
+    if sharded:
+        from surfacenet_tpu.parallel.sweep_sharded import run_sweep_sharded
         store, stats = run_sweep_sharded(
             scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
             predictor, pair_selector=pair_selector,

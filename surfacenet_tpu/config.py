@@ -126,7 +126,7 @@ class FusionConfig:
     # O(cube_extent / camera_distance) in ray assignment).
     ray_pool_mode: str = "exact"
     n_pool_views: int = 6  # deduped views used for the thinning vote
-    # Ray-max window in voxels: -1 = auto (max(2, overlap//2)); 0 = legacy
+    # Ray-max window in voxels: -1 = auto (min(2, overlap//2)); 0 = legacy
     # per-cube segment max (rays chopped at cube faces — boundary
     # artifacts); > 0 = windowed max, combined with core claiming so cube
     # boundaries do not distort thinning (SURVEY.md SS7 hard part).

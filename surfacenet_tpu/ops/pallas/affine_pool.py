@@ -140,10 +140,23 @@ def _pool_one_axis(
         out_specs=[
             pl.BlockSpec((1, D, D, D), lambda i, *_: (i, 0, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((D, D, D), jnp.float32)],
+        # the sheared-stack scratch is only touched in windowed mode; do
+        # not reserve D^3 f32 of scoped VMEM (1 MiB at D=64) for segment
+        # mode.
+        scratch_shapes=(
+            [pltpu.VMEM((D, D, D), jnp.float32)] if window > 0 else []
+        ),
     )
+    kern = functools.partial(_affine_pool_kernel, D=D, window=window)
+    if window <= 0:
+
+        def kern(slopes_ref, vol_ref, mask_ref):  # noqa: F811
+            _affine_pool_kernel(
+                slopes_ref, vol_ref, mask_ref, None, D=D, window=window
+            )
+
     (mask,) = pl.pallas_call(
-        functools.partial(_affine_pool_kernel, D=D, window=window),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((N, D, D, D), jnp.float32)],
         interpret=interpret,

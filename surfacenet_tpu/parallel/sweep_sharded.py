@@ -193,7 +193,9 @@ def run_sweep_sharded(
         r_origins = origins[flat].astype(np.float32)
         pair_idx, pair_w = pair_selector(Ps, r_origins)
         core_bounds = (
-            core_bounds_for(r_grid, lattice_max, D, cfg.voxel.overlap)
+            core_bounds_for(
+                r_grid, lattice_max, D, cfg.voxel.overlap, present=grid
+            )
             if pool_window > 0
             else None
         )
@@ -238,8 +240,13 @@ def run_sweep_sharded(
         from surfacenet_tpu.pipeline.sweep import unpack_compact
 
         counts = np.asarray(out[1])
-        if (counts > compact_K).any():
-            n_over = int((counts > compact_K).sum())
+        # only valid slots count: padding duplicates a real cube, whose
+        # (possibly truncated) result is harvested from its own slot.
+        valid = np.zeros(len(counts), bool)
+        for b in range(n_block):
+            valid[b * per_block_round : b * per_block_round + valid_counts[b]] = True
+        if (counts[valid] > compact_K).any():
+            n_over = int((counts[valid] > compact_K).sum())
             print(
                 f"sharded sweep: {n_over} cube(s) exceed "
                 f"compact_k={compact_K}; re-fetching round dense"

@@ -144,32 +144,62 @@ def resolve_backend_config(cfg: Config) -> Config:
 def resolve_pool_window(cfg: Config) -> int:
     """Effective ray-max window (voxels): -1 = auto.
 
-    Auto picks min(2, overlap//2) (floor 1): large enough to suppress
-    peak shoulders and near-face ghosts, small enough not to eat thin
+    Auto picks min(2, overlap//2): large enough to suppress peak
+    shoulders and near-face ghosts, small enough not to eat thin
     structures (the window must stay below the smallest surface-to-surface
     separation IN VOXELS — at very coarse voxelizations of thin geometry,
     set pool_window_vox=1 explicitly; see tests/test_golden_tori.py).
-    Claims are exact without halo communication while overlap >= 2*window.
+    Claims are exact without halo communication only while
+    overlap >= 2*window, so overlap < 2 resolves to 0 — per-cube segment
+    pooling with the 0.5 occupancy vote — instead of a window whose
+    comparison region would silently extend past the cube's data.
     """
     w = cfg.fusion.pool_window_vox
     if w < 0:
-        w = max(1, min(2, cfg.voxel.overlap // 2))
+        w = min(2, cfg.voxel.overlap // 2)
     return w
 
 
 def core_bounds_for(
-    grid: np.ndarray, lattice_max: np.ndarray, D: int, overlap: int
+    grid: np.ndarray,
+    lattice_max: np.ndarray,
+    D: int,
+    overlap: int,
+    present: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-cube claimed-voxel bounds (N, 3, 2) for core claiming.
 
     Cores trim overlap//2 voxels from each face so they tile the scene
-    exactly (stride = D - overlap); cubes on the lattice boundary extend
-    their core to the scene edge.
+    exactly (stride = D - overlap).  A cube extends its claim to its own
+    face on every side whose lattice neighbor is absent — beyond the
+    lattice edge, or dropped by the prefilter when ``present`` carries
+    the grid coords of all surviving cubes.  Without the extension the
+    overlap strip owned by a dropped neighbor is claimed by no cube at
+    all: holes along prefilter boundaries.  (Every voxel inside at least
+    one surviving cube is then claimed by at least one surviving cube —
+    if the strip's owner is absent, induction along each axis reaches a
+    present cube whose neighbor toward the owner is absent, which
+    therefore extends.  Corner strips may be double-claimed by two
+    extending cubes; the store's merge averages those.)
     """
     m_lo = overlap // 2
     m_hi = overlap - m_lo
-    lo = np.where(grid == 0, 0, m_lo)
-    hi = np.where(grid == np.asarray(lattice_max), D, D - m_hi)
+    grid = np.asarray(grid)
+    if present is None:
+        lo = np.where(grid == 0, 0, m_lo)
+        hi = np.where(grid == np.asarray(lattice_max), D, D - m_hi)
+    else:
+        pres = {tuple(int(v) for v in g) for g in np.asarray(present)}
+        lo = np.full(grid.shape, m_lo, int)
+        hi = np.full(grid.shape, D - m_hi, int)
+        for a in range(3):
+            e = np.zeros(3, int)
+            e[a] = 1
+            for i, g in enumerate(grid):
+                if tuple(g - e) not in pres:
+                    lo[i, a] = 0
+                if tuple(g + e) not in pres:
+                    hi[i, a] = D
     return np.stack([lo, hi], axis=-1).astype(np.int32)
 
 
@@ -490,6 +520,10 @@ def run_sweep(
     keep = prefilter_cubes(Ps, origins, hw, cfg)
     grid, origins = grid[keep], origins[keep]
     stats.n_cubes_after_prefilter = len(origins)
+    # claim extension sees all prefilter survivors (incl. ledger-done cubes,
+    # whose claims are already recorded): a dropped neighbor's strip must be
+    # claimed by someone, a done neighbor's must not be re-claimed wider.
+    present_grid = grid.copy()
 
     pool_window = resolve_pool_window(cfg)
     store = SparseCubeStore(
@@ -535,7 +569,9 @@ def run_sweep(
         )
 
     core_bounds = (
-        core_bounds_for(grid, lattice_max, D, cfg.voxel.overlap)
+        core_bounds_for(
+            grid, lattice_max, D, cfg.voxel.overlap, present=present_grid
+        )
         if pool_window > 0
         else None
     )
@@ -585,7 +621,7 @@ def run_sweep(
     compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)
 
     def harvest(b0, out):
-        counts = np.asarray(out[1])
+        counts = np.asarray(out[1])[: min(B, n - b0)]  # ignore padding slots
         if (counts > compact_K).any():
             # compact records truncated a pathologically dense cube: re-run
             # the batch dense so no occupied voxel is silently dropped.

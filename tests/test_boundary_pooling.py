@@ -141,7 +141,7 @@ def test_windowed_pooling_kills_cross_boundary_ghost(boundary_scene):
 
 
 def test_windowed_pooling_auto_window(boundary_scene):
-    """Default config (pool_window_vox=-1 -> overlap//2=4) also passes."""
+    """Default config (pool_window_vox=-1 -> min(2, overlap//2)=2) passes."""
     pts = _sweep_points(boundary_scene, _config(window=-1))
     assert _has_point_near(pts, boundary_scene["strong"])
     assert not _has_point_near(pts, boundary_scene["weak"])

@@ -232,3 +232,67 @@ def test_gamma_vote_counts_unique_views_once(sphere_scene):
     )
     assert bool(jnp.any(occ_ref)), "test scene produced no occupancy"
     np.testing.assert_array_equal(np.asarray(occ_dup), np.asarray(occ_ref))
+
+
+def test_core_bounds_extend_to_absent_neighbors():
+    """Claims extend to faces whose neighbor was dropped by the prefilter.
+
+    Without the extension the overlap strip owned by a dropped neighbor is
+    claimed by no cube at all: holes along prefilter boundaries.
+    """
+    from surfacenet_tpu.pipeline.sweep import core_bounds_for
+
+    D, overlap = 16, 4
+    m_lo, m_hi = overlap // 2, overlap - overlap // 2
+    # 3x1x1 lattice with the middle cube dropped
+    present = np.array([[0, 0, 0], [2, 0, 0]])
+    b = core_bounds_for(
+        present, np.array([2, 0, 0]), D, overlap, present=present
+    )
+    # cube (0,0,0): +x neighbor (1,0,0) absent -> claim extends to its face
+    assert b[0, 0, 1] == D
+    # cube (2,0,0): -x neighbor absent -> claim extends down to 0
+    assert b[1, 0, 0] == 0
+    # no neighbors along y/z at all -> full claims there
+    assert (b[:, 1:, 0] == 0).all() and (b[:, 1:, 1] == D).all()
+
+    # with the middle cube present, interior faces stay trimmed
+    full = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0]])
+    b = core_bounds_for(full, np.array([2, 0, 0]), D, overlap, present=full)
+    assert b[0, 0, 1] == D - m_hi and b[1, 0, 0] == m_lo
+    assert b[1, 0, 1] == D - m_hi and b[2, 0, 0] == m_lo
+
+
+def test_core_bounds_present_matches_lattice_edge_rule():
+    """With every enumerated cube present, presence-aware bounds reduce to
+    the legacy lattice-edge rule."""
+    from surfacenet_tpu.pipeline.sweep import core_bounds_for
+
+    D, overlap = 16, 4
+    ax = np.arange(3)
+    grid = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    lmax = np.array([2, 2, 2])
+    legacy = core_bounds_for(grid, lmax, D, overlap)
+    aware = core_bounds_for(grid, lmax, D, overlap, present=grid)
+    assert (legacy == aware).all()
+
+
+def test_resolve_pool_window_auto_respects_overlap():
+    """Auto window is min(2, overlap//2): tiny overlaps cannot satisfy the
+    overlap >= 2*window exactness bound and must fall back to segment mode."""
+    from surfacenet_tpu.pipeline.sweep import resolve_pool_window
+
+    def cfg_with(overlap):
+        return Config(
+            voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=overlap)
+        )
+
+    assert resolve_pool_window(cfg_with(8)) == 2
+    assert resolve_pool_window(cfg_with(4)) == 2
+    assert resolve_pool_window(cfg_with(2)) == 1
+    assert resolve_pool_window(cfg_with(1)) == 0
+    assert resolve_pool_window(cfg_with(0)) == 0
+    explicit = dataclasses.replace(
+        cfg_with(8), fusion=FusionConfig(pool_window_vox=3)
+    )
+    assert resolve_pool_window(explicit) == 3
