@@ -175,6 +175,9 @@ class TrainConfig:
     n_steps: int = 10000
     # class-balanced BCE: surface voxels are rare; alpha weights positives.
     class_balance: bool = True
+    # steps fused per device dispatch (lax.scan) when the scene supports
+    # device-side sampling (analytic surface); 0 = one dispatch per step.
+    scan_chunk: int = 25
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     seed: int = 0

@@ -76,13 +76,7 @@ def _gather_cvcs(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "D", "s", "balanced", "center_colors", "use_pallas", "crop_hw",
-    ),
-)
-def train_step(
+def _train_step_impl(
     state: TrainState,
     images: jnp.ndarray,  # (V, H, W, 3)
     Ps: jnp.ndarray,  # (V, 3, 4)
@@ -97,7 +91,9 @@ def train_step(
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
 ) -> Tuple[TrainState, jnp.ndarray]:
-    """One fused CVC-gather + forward + backward + update step."""
+    """One fused CVC-gather + forward + backward + update step (traceable:
+    called directly by ``train_step`` and from inside ``train_steps_scan``'s
+    scan body)."""
 
     x, valid = _gather_cvcs(
         images, Ps, pair_idx, origins, D, s, center_colors,
@@ -121,6 +117,15 @@ def train_step(
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=mutated["batch_stats"])
     return state, loss
+
+
+train_step = jax.jit(
+    _train_step_impl,
+    static_argnames=(
+        "D", "s", "balanced", "center_colors", "use_pallas", "crop_hw",
+    ),
+)
+train_step.__doc__ = "Jitted single fused CVC-gather + fwd + bwd + update."
 
 
 @functools.partial(
@@ -193,6 +198,153 @@ def sample_training_batch(
     return origins.astype(np.float32), pair_idx, labels
 
 
+# ----------------------------------------------- device-side batch sampling
+#
+# The host sampler above costs ~57 ms/step (surface sampling + pair selection
+# + occupancy labels in numpy) and forces one device dispatch per step
+# (~30 ms floor through a relay).  The TPU-first shape of the loop is:
+# precompute a device-resident candidate table ONCE (surface points + their
+# top-k view pairs), generate jitter/labels/pair draws ON DEVICE from a PRNG
+# key, and chain K steps per dispatch with ``lax.scan`` — the whole training
+# chunk is then a single XLA executable with zero host work in the middle.
+
+
+def _sphere_surf_dist(params, pts):
+    """Unsigned distance to a sphere surface; params = (center(3,), radius)."""
+    center, radius = params
+    return jnp.abs(
+        jnp.linalg.norm(pts - center, axis=-1) - radius
+    )
+
+
+def _tori_surf_dist(params, pts):
+    """Unsigned distance to a union-of-tori surface.
+
+    params = (centers (T,3), axes (T,3), R (T,), r (T,)).  Exact for points
+    outside every tube (tube circles are kept > 2r apart by construction in
+    ``make_tori_scene``), matching SDFScene._sdf.
+    """
+    centers, axes, Rs, rs = params
+    q = pts[..., None, :] - centers  # (..., T, 3)
+    h = jnp.sum(q * axes, axis=-1)  # (..., T)
+    radial = jnp.linalg.norm(q - h[..., None] * axes, axis=-1)
+    d = jnp.sqrt((radial - Rs) ** 2 + h**2) - rs
+    return jnp.abs(jnp.min(d, axis=-1))
+
+
+def make_device_sampler(
+    scene, cfg: Config, n_candidates: int = 8192, seed: int = 0
+):
+    """Precompute device-resident sampling tables for ``train_steps_scan``.
+
+    Returns (cand_pts (N,3), cand_pairs (N,k,2) int32, surf_fn, surf_params)
+    or None if the scene has no analytic surface (PointCloudScene → use the
+    host sampler).  Pair selection reuses the inference-time geometric
+    selector on the pre-jitter cube origins; visibility changes within the
+    ±0.25·D·s jitter are negligible (the reference likewise precomputes
+    view-pair weights per region, SURVEY.md §3.1).
+    """
+    from surfacenet_tpu.data.synthetic import SDFScene, SyntheticScene
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+
+    if isinstance(scene, SyntheticScene):
+        surf_fn = _sphere_surf_dist
+        surf_params = (
+            jnp.asarray(scene.center, jnp.float32),
+            jnp.float32(scene.radius),
+        )
+    elif isinstance(scene, SDFScene):
+        surf_fn = _tori_surf_dist
+        surf_params = tuple(
+            jnp.asarray(np.stack(x), jnp.float32)
+            for x in zip(*[
+                (np.asarray(c, np.float64), np.asarray(a, np.float64), R, r)
+                for c, a, R, r in scene.tori
+            ])
+        )
+    else:
+        return None
+
+    D = cfg.voxel.cube_size
+    s = cfg.voxel.voxel_size_mm
+    pts = scene.surface_points(n_candidates, seed=seed)
+    k = max(cfg.fusion.n_view_pairs, 2)
+    sel, _ = select_pairs_geometric(
+        scene.Ps, pts - D * s / 2.0, n_pairs=k,
+        image_hw=scene.images.shape[1:3],
+        extent_mm=cfg.voxel.cube_extent_mm,
+    )
+    return (
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(sel, jnp.int32),
+        surf_fn,
+        surf_params,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "surf_fn", "K", "batch", "D", "s", "balanced", "center_colors",
+        "use_pallas", "crop_hw",
+    ),
+)
+def train_steps_scan(
+    state: TrainState,
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    cand_pts: jnp.ndarray,  # (N, 3)
+    cand_pairs: jnp.ndarray,  # (N, k, 2)
+    surf_params,
+    key: jax.Array,
+    *,
+    surf_fn,
+    K: int,
+    batch: int,
+    D: int,
+    s: float,
+    balanced: bool,
+    center_colors: bool,
+    use_pallas: bool = False,
+    crop_hw: tuple = (192, 256),
+) -> Tuple[TrainState, jnp.ndarray]:
+    """K fused training steps in one dispatch (lax.scan over steps).
+
+    Sampling (cube origins, jitter, labels, pair draw) runs on device from
+    ``key``; returns (state, losses (K,)).
+    """
+    r = (jnp.arange(D, dtype=jnp.float32) + 0.5) * s
+    gi, gj, gk = jnp.meshgrid(r, r, r, indexing="ij")
+    local = jnp.stack([gi, gj, gk], axis=-1)  # (D, D, D, 3)
+    half_diag = s * float(np.sqrt(3)) / 2.0
+
+    def body(carry, k):
+        state = carry
+        k1, k2, k3 = jax.random.split(k, 3)
+        idx = jax.random.randint(k1, (batch,), 0, cand_pts.shape[0])
+        jitter = jax.random.uniform(
+            k2, (batch, 3), minval=-0.25, maxval=0.25
+        ) * (D * s)
+        origins = cand_pts[idx] - D * s / 2.0 + jitter
+        centers = origins[:, None, None, None, :] + local
+        labels = (surf_fn(surf_params, centers) <= half_diag).astype(
+            jnp.float32
+        )
+        choice = jax.random.randint(
+            k3, (batch,), 0, cand_pairs.shape[1]
+        )
+        pair_idx = cand_pairs[idx, choice]
+        state, loss = _train_step_impl(
+            state, images, Ps, origins, pair_idx, labels,
+            D=D, s=s, balanced=balanced, center_colors=center_colors,
+            use_pallas=use_pallas, crop_hw=crop_hw,
+        )
+        return state, loss
+
+    keys = jax.random.split(key, K)
+    return jax.lax.scan(body, state, keys)
+
+
 @dataclasses.dataclass
 class TrainLog:
     steps: list
@@ -255,6 +407,44 @@ def train_surfacenet(
             )
 
     log = TrainLog(steps=[], losses=[])
+
+    # Scan-chained path: K steps per dispatch with device-side sampling —
+    # removes the ~57 ms/step host sampler and the per-dispatch floor.
+    # Single-scene only (multi-scene round-robins host-side below).
+    sampler = (
+        make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
+        if cfg.train.scan_chunk > 0 and len(scenes) == 1
+        else None
+    )
+    if sampler is not None:
+        cand_pts, cand_pairs, surf_fn, surf_params = sampler
+        key = jax.random.PRNGKey(cfg.train.seed + 1)
+        done = 0
+        while done < n_steps:
+            K = min(cfg.train.scan_chunk, n_steps - done)
+            key, sub = jax.random.split(key)
+            state, losses = train_steps_scan(
+                state, images_d[0], Ps_d[0],
+                cand_pts, cand_pairs, surf_params, sub,
+                surf_fn=surf_fn, K=K, batch=cfg.train.batch_size,
+                D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
+                balanced=cfg.train.class_balance,
+                center_colors=cfg.voxel.center_colors,
+                use_pallas=use_pallas, crop_hw=crop_hw,
+            )
+            losses = np.asarray(losses)
+            for i in range(K):
+                step = done + i
+                if step % log_every == 0 or step == n_steps - 1:
+                    log.steps.append(step)
+                    log.losses.append(float(losses[i]))
+            done += K
+            if checkpoint_dir and (
+                done % cfg.train.checkpoint_every < K or done == n_steps
+            ):
+                save_checkpoint(checkpoint_dir, state, done)
+        return state, log
+
     for step in range(n_steps):
         si = step % len(scenes)
         origins, pair_idx, labels = sample_training_batch(

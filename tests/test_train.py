@@ -27,7 +27,10 @@ def _cfg():
         voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
         model=ModelConfig.tiny(),
         pairnet=PairNetConfig(channels=(8,), embed_dim=8, patch_size=16),
-        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0),
+        # scan_chunk=0: keep the host-sampled path covered here; the scan
+        # path has its own tests below.
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0,
+                          scan_chunk=0),
     )
 
 
@@ -70,6 +73,96 @@ def test_sample_training_batch_near_surface(small_scene):
 def test_training_reduces_loss(small_scene):
     cfg = _cfg()
     state, log = train_surfacenet(small_scene, cfg, n_steps=30, log_every=1)
+    first = np.mean(log.losses[:5])
+    last = np.mean(log.losses[-5:])
+    assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
+
+
+def test_device_sampler_labels_match_host_rule(small_scene):
+    """Device-side SDF labels reproduce the host occupancy voxelization."""
+    from surfacenet_tpu.train.train_surface import make_device_sampler
+
+    cfg = _cfg()
+    sampler = make_device_sampler(small_scene, cfg, n_candidates=64)
+    assert sampler is not None
+    cand_pts, cand_pairs, surf_fn, surf_params = sampler
+    assert cand_pts.shape == (64, 3)
+    assert cand_pairs.shape[0] == 64 and cand_pairs.shape[2] == 2
+
+    D, s = cfg.voxel.cube_size, cfg.voxel.voxel_size_mm
+    origins = np.asarray(cand_pts)[:8] - D * s / 2.0
+    r = (np.arange(D) + 0.5) * s
+    gi, gj, gk = np.meshgrid(r, r, r, indexing="ij")
+    centers = origins[:, None, None, None, :] + np.stack(
+        [gi, gj, gk], axis=-1
+    )
+    host = small_scene.occupancy(centers, s)
+    dev = np.asarray(
+        surf_fn(surf_params, jnp.asarray(centers, jnp.float32))
+        <= s * np.sqrt(3) / 2
+    )
+    assert (host == dev).mean() > 0.999  # f32 boundary ties only
+
+
+def test_device_sampler_tori():
+    from surfacenet_tpu.data.synthetic import make_tori_scene
+    from surfacenet_tpu.train.train_surface import make_device_sampler
+
+    scene = make_tori_scene(n_views=6, hw=(60, 80))
+    cfg = _cfg()
+    sampler = make_device_sampler(scene, cfg, n_candidates=32)
+    assert sampler is not None
+    cand_pts, _, surf_fn, surf_params = sampler
+    # candidate points lie on the analytic surface
+    d = np.asarray(surf_fn(surf_params, cand_pts))
+    assert d.max() < 1e-3
+
+
+def test_train_steps_scan_deterministic_and_converges(small_scene):
+    from surfacenet_tpu.train.train_surface import (
+        make_device_sampler, train_steps_scan,
+    )
+
+    cfg = _cfg()
+    sampler = make_device_sampler(small_scene, cfg, n_candidates=128)
+    cand_pts, cand_pairs, surf_fn, surf_params = sampler
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+    kw = dict(
+        surf_fn=surf_fn, K=8, batch=cfg.train.batch_size,
+        D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
+        balanced=True, center_colors=True,
+    )
+    key = jax.random.PRNGKey(7)
+    s1, l1 = train_steps_scan(
+        state, images, Ps, cand_pts, cand_pairs, surf_params, key, **kw
+    )
+    _, l2 = train_steps_scan(
+        state, images, Ps, cand_pts, cand_pairs, surf_params, key, **kw
+    )
+    assert l1.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(l1)))
+    assert np.allclose(np.asarray(l1), np.asarray(l2))  # same key → same run
+    # chaining: second chunk continues from updated state and keeps learning
+    s2, l3 = train_steps_scan(
+        s1, images, Ps, cand_pts, cand_pairs, surf_params,
+        jax.random.PRNGKey(8), **kw
+    )
+    assert int(s2.step) == int(state.step) + 16
+    assert np.asarray(l3).mean() < np.asarray(l1).mean()
+
+
+def test_train_surfacenet_scan_path_reduces_loss(small_scene):
+    """Driver routes through the scan path (scan_chunk>0) and still learns."""
+    cfg = _cfg()
+    cfg = Config(
+        voxel=cfg.voxel, model=cfg.model, pairnet=cfg.pairnet,
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0,
+                          scan_chunk=10),
+    )
+    state, log = train_surfacenet(small_scene, cfg, n_steps=30, log_every=1)
+    assert len(log.losses) == 30
     first = np.mean(log.losses[:5])
     last = np.mean(log.losses[-5:])
     assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
