@@ -345,6 +345,109 @@ def train_steps_scan(
     return jax.lax.scan(body, state, keys)
 
 
+def make_pool_sampler(
+    scene, cfg: Config, n_pool: int = 2048, seed: int = 0
+):
+    """Pooled device sampler for scenes WITHOUT an analytic surface
+    (PointCloudScene / DTU scans).
+
+    Precomputes a pool of n_pool candidate cubes ONCE on the host (jittered
+    origins near GT points, voxelized occupancy labels, top-k view pairs) and
+    uploads it; ``train_steps_scan_pool`` then draws batches from the pool on
+    device.  Labels are bit-packed (D^3/8 bytes per cube) so even a 64^3 pool
+    fits comfortably in HBM.  The one-time host cost (~n_pool x the old
+    per-step sampling cost) amortizes over the run; steady-state steps/s
+    matches the analytic scan path.
+    """
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+
+    D = cfg.voxel.cube_size
+    s = cfg.voxel.voxel_size_mm
+    rng = np.random.default_rng(seed)
+
+    pts = scene.surface_points(n_pool, seed=seed)
+    jitter = rng.uniform(-0.25, 0.25, (n_pool, 3)) * D * s
+    origins = (pts - D * s / 2.0 + jitter).astype(np.float32)
+
+    r = (np.arange(D) + 0.5) * s
+    gi, gj, gk = np.meshgrid(r, r, r, indexing="ij")
+    local = np.stack([gi, gj, gk], axis=-1)
+    # chunk the occupancy evaluation: n_pool x D^3 centers at once would be
+    # tens of GB against a large GT cloud
+    labels_packed = np.empty((n_pool, D * D * D // 8), np.uint8)
+    chunk = max(1, (1 << 24) // (D * D * D))
+    for i in range(0, n_pool, chunk):
+        centers = origins[i : i + chunk, None, None, None, :] + local
+        occ = scene.occupancy(centers, s)
+        labels_packed[i : i + chunk] = np.packbits(
+            occ.reshape(occ.shape[0], -1), axis=1, bitorder="little"
+        )
+
+    k = max(cfg.fusion.n_view_pairs, 2)
+    sel, _ = select_pairs_geometric(
+        scene.Ps, origins, n_pairs=k,
+        image_hw=scene.images.shape[1:3],
+        extent_mm=cfg.voxel.cube_extent_mm,
+    )
+    return (
+        jnp.asarray(origins),
+        jnp.asarray(sel, jnp.int32),
+        jnp.asarray(labels_packed),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "batch", "D", "s", "balanced", "center_colors",
+        "use_pallas", "crop_hw",
+    ),
+)
+def train_steps_scan_pool(
+    state: TrainState,
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    pool_origins: jnp.ndarray,  # (N, 3)
+    pool_pairs: jnp.ndarray,  # (N, k, 2)
+    pool_labels: jnp.ndarray,  # (N, D^3/8) uint8, little-endian bits
+    key: jax.Array,
+    *,
+    K: int,
+    batch: int,
+    D: int,
+    s: float,
+    balanced: bool,
+    center_colors: bool,
+    use_pallas: bool = False,
+    crop_hw: tuple = (192, 256),
+) -> Tuple[TrainState, jnp.ndarray]:
+    """K training steps per dispatch drawing from a precomputed cube pool."""
+    bits = jnp.arange(8, dtype=jnp.uint8)
+
+    def body(carry, k):
+        state = carry
+        k1, k2 = jax.random.split(k)
+        idx = jax.random.randint(k1, (batch,), 0, pool_origins.shape[0])
+        origins = pool_origins[idx]
+        packed = pool_labels[idx]  # (B, D^3/8)
+        labels = (
+            ((packed[..., None] >> bits) & 1)
+            .reshape(batch, D, D, D)
+            .astype(jnp.float32)
+        )
+        choice = jax.random.randint(k2, (batch,), 0, pool_pairs.shape[1])
+        pair_idx = pool_pairs[idx, choice]
+        state, loss = _train_step_impl(
+            state, images, Ps, origins, pair_idx, labels,
+            D=D, s=s, balanced=balanced, center_colors=center_colors,
+            use_pallas=use_pallas, crop_hw=crop_hw,
+        )
+        return state, loss
+
+    keys = jax.random.split(key, K)
+    return jax.lax.scan(body, state, keys)
+
+
 @dataclasses.dataclass
 class TrainLog:
     steps: list
@@ -411,27 +514,36 @@ def train_surfacenet(
     # Scan-chained path: K steps per dispatch with device-side sampling —
     # removes the ~57 ms/step host sampler and the per-dispatch floor.
     # Single-scene only (multi-scene round-robins host-side below).
-    sampler = (
-        make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
-        if cfg.train.scan_chunk > 0 and len(scenes) == 1
-        else None
-    )
-    if sampler is not None:
-        cand_pts, cand_pairs, surf_fn, surf_params = sampler
+    sampler = pool = None
+    if cfg.train.scan_chunk > 0 and len(scenes) == 1:
+        sampler = make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
+        if sampler is None:
+            # no analytic surface (PointCloudScene): pooled labels instead
+            pool = make_pool_sampler(scenes[0], cfg, seed=cfg.train.seed)
+    if sampler is not None or pool is not None:
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         done = 0
         while done < n_steps:
             K = min(cfg.train.scan_chunk, n_steps - done)
             key, sub = jax.random.split(key)
-            state, losses = train_steps_scan(
-                state, images_d[0], Ps_d[0],
-                cand_pts, cand_pairs, surf_params, sub,
-                surf_fn=surf_fn, K=K, batch=cfg.train.batch_size,
+            kw = dict(
+                K=K, batch=cfg.train.batch_size,
                 D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
                 balanced=cfg.train.class_balance,
                 center_colors=cfg.voxel.center_colors,
                 use_pallas=use_pallas, crop_hw=crop_hw,
             )
+            if sampler is not None:
+                cand_pts, cand_pairs, surf_fn, surf_params = sampler
+                state, losses = train_steps_scan(
+                    state, images_d[0], Ps_d[0],
+                    cand_pts, cand_pairs, surf_params, sub,
+                    surf_fn=surf_fn, **kw,
+                )
+            else:
+                state, losses = train_steps_scan_pool(
+                    state, images_d[0], Ps_d[0], *pool, sub, **kw
+                )
             losses = np.asarray(losses)
             for i in range(K):
                 step = done + i

@@ -153,6 +153,58 @@ def test_train_steps_scan_deterministic_and_converges(small_scene):
     assert np.asarray(l3).mean() < np.asarray(l1).mean()
 
 
+def _pc_scene(small_scene, n=4000):
+    """PointCloudScene wrapping the sphere's GT samples (the DTU shape)."""
+    from surfacenet_tpu.data.scene import PointCloudScene
+
+    return PointCloudScene(
+        images=small_scene.images, Ps=small_scene.Ps,
+        gt_points=small_scene.surface_points(n, seed=3),
+    )
+
+
+def test_pool_sampler_labels_match_host_rule(small_scene):
+    """Bit-packed pool labels reproduce the host occupancy voxelization."""
+    from surfacenet_tpu.train.train_surface import make_pool_sampler
+
+    cfg = _cfg()
+    pc = _pc_scene(small_scene)
+    origins, pairs, packed = make_pool_sampler(pc, cfg, n_pool=16)
+    D, s = cfg.voxel.cube_size, cfg.voxel.voxel_size_mm
+    assert origins.shape == (16, 3)
+    assert packed.shape == (16, D**3 // 8)
+
+    unpacked = np.unpackbits(
+        np.asarray(packed), axis=1, bitorder="little"
+    ).reshape(16, D, D, D).astype(bool)
+    r = (np.arange(D) + 0.5) * s
+    gi, gj, gk = np.meshgrid(r, r, r, indexing="ij")
+    centers = np.asarray(origins)[:, None, None, None, :] + np.stack(
+        [gi, gj, gk], axis=-1
+    )
+    host = pc.occupancy(centers, s)
+    assert (host == unpacked).all()
+    # cubes sampled near the surface actually contain labels
+    assert unpacked.reshape(16, -1).sum(axis=1).min() > 0
+
+
+def test_train_surfacenet_pool_path_reduces_loss(small_scene):
+    """PointCloudScene routes through the pooled scan path and learns."""
+    from surfacenet_tpu.data.scene import PointCloudScene
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0,
+                          scan_chunk=10),
+    )
+    state, log = train_surfacenet(
+        _pc_scene(small_scene), cfg, n_steps=30, log_every=1
+    )
+    assert len(log.losses) == 30
+    assert np.mean(log.losses[-5:]) < np.mean(log.losses[:5])
+
+
 def test_train_surfacenet_scan_path_reduces_loss(small_scene):
     """Driver routes through the scan path (scan_chunk>0) and still learns."""
     cfg = _cfg()
