@@ -282,11 +282,25 @@ def make_device_sampler(
     )
 
 
+def _constrain_batch(arrs, batch_sharding):
+    """Pin the sampled minibatch to the mesh's data-parallel sharding.
+
+    With params replicated and the batch sharded, XLA partitions the
+    gather+fwd+bwd across the mesh and inserts the gradient all-reduce —
+    the multi-chip training loop falls out of the same scanned program.
+    """
+    if batch_sharding is None:
+        return arrs
+    return tuple(
+        jax.lax.with_sharding_constraint(a, batch_sharding) for a in arrs
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "surf_fn", "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw",
+        "use_pallas", "crop_hw", "batch_sharding",
     ),
 )
 def train_steps_scan(
@@ -307,6 +321,7 @@ def train_steps_scan(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    batch_sharding=None,  # NamedSharding(mesh, P(axes, ...)) or None
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K fused training steps in one dispatch (lax.scan over steps).
 
@@ -334,6 +349,9 @@ def train_steps_scan(
             k3, (batch,), 0, cand_pairs.shape[1]
         )
         pair_idx = cand_pairs[idx, choice]
+        origins, pair_idx, labels = _constrain_batch(
+            (origins, pair_idx, labels), batch_sharding
+        )
         state, loss = _train_step_impl(
             state, images, Ps, origins, pair_idx, labels,
             D=D, s=s, balanced=balanced, center_colors=center_colors,
@@ -400,7 +418,7 @@ def make_pool_sampler(
     jax.jit,
     static_argnames=(
         "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw",
+        "use_pallas", "crop_hw", "batch_sharding",
     ),
 )
 def train_steps_scan_pool(
@@ -420,6 +438,7 @@ def train_steps_scan_pool(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    batch_sharding=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K training steps per dispatch drawing from a precomputed cube pool."""
     bits = jnp.arange(8, dtype=jnp.uint8)
@@ -437,6 +456,9 @@ def train_steps_scan_pool(
         )
         choice = jax.random.randint(k2, (batch,), 0, pool_pairs.shape[1])
         pair_idx = pool_pairs[idx, choice]
+        origins, pair_idx, labels = _constrain_batch(
+            (origins, pair_idx, labels), batch_sharding
+        )
         state, loss = _train_step_impl(
             state, images, Ps, origins, pair_idx, labels,
             D=D, s=s, balanced=balanced, center_colors=center_colors,

@@ -164,3 +164,60 @@ def test_sharded_train_step_matches_single_device(small_scene):
         jax.tree_util.tree_leaves(s2.params),
     ):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_steps_scan_sharded_matches_unsharded(small_scene):
+    """Scan-chained training with the minibatch dp-sharded over the mesh
+    reproduces the unsharded run (same PRNG key -> same sampled batches;
+    XLA inserts the grad all-reduce from the sharding constraint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surfacenet_tpu.config import Config, ModelConfig, TrainConfig, VoxelConfig
+    from surfacenet_tpu.parallel.mesh import cube_sharded, make_mesh, replicated
+    from surfacenet_tpu.train.train_surface import (
+        create_train_state, make_device_sampler, train_steps_scan,
+    )
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=8, lr=1e-2, seed=0),
+    )
+    cand_pts, cand_pairs, surf_fn, surf_params = make_device_sampler(
+        small_scene, cfg, n_candidates=64
+    )
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+    kw = dict(
+        surf_fn=surf_fn, K=3, batch=8, D=16, s=2.0,
+        balanced=True, center_colors=True,
+    )
+    key = jax.random.PRNGKey(5)
+
+    _, state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    s1, l1 = train_steps_scan(
+        state1, images, Ps, cand_pts, cand_pairs, surf_params, key, **kw
+    )
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    _, state2 = create_train_state(cfg, jax.random.PRNGKey(0))
+    s2, l2 = train_steps_scan(
+        jax.device_put(state2, rep),
+        jax.device_put(images, rep),
+        jax.device_put(Ps, rep),
+        jax.device_put(cand_pts, rep),
+        jax.device_put(cand_pairs, rep),
+        jax.device_put(surf_params, rep),
+        key,
+        batch_sharding=cube_sharded(mesh),
+        **kw,
+    )
+    assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
