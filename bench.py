@@ -179,6 +179,50 @@ def main():
 
         print(f"bench: 64^3 point failed: {e!r}", file=sys.stderr)
 
+    # --- training throughput (scan-chained device-sampled loop)
+    train_steps_per_s = None
+    try:
+        from surfacenet_tpu.config import TrainConfig
+        from surfacenet_tpu.train.train_surface import (
+            create_train_state, make_device_sampler, train_steps_scan,
+        )
+
+        tcfg = Config(
+            voxel=cfg.voxel, model=cfg.model, fusion=cfg.fusion,
+            train=TrainConfig(batch_size=16, seed=0),
+        )
+        _, tstate = create_train_state(tcfg, jax.random.PRNGKey(0))
+        cand_pts, cand_pairs, surf_fn, surf_params = make_device_sampler(
+            scene, tcfg, n_candidates=2048
+        )
+        tkw = dict(
+            surf_fn=surf_fn, K=50, batch=16, D=D,
+            s=cfg.voxel.voxel_size_mm, balanced=True, center_colors=True,
+            use_pallas=on_tpu, crop_hw=crop_hw,
+        )
+        key = jax.random.PRNGKey(1)
+        key, sub = jax.random.split(key)
+        tstate, losses = train_steps_scan(  # warmup/compile chunk
+            tstate, images, Ps, cand_pts, cand_pairs, surf_params, sub,
+            **tkw,
+        )
+        float(losses[-1])
+        best_tr = float("inf")
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            tstate, losses = train_steps_scan(
+                tstate, images, Ps, cand_pts, cand_pairs, surf_params,
+                sub, **tkw,
+            )
+            float(losses[-1])  # host sync
+            best_tr = min(best_tr, time.perf_counter() - t0)
+        train_steps_per_s = 50 / best_tr
+    except Exception as e:  # training line must not take down the headline
+        import sys
+
+        print(f"bench: training point failed: {e!r}", file=sys.stderr)
+
     baseline_est = 5.0  # cubes/s, documented estimate (see module docstring)
     rec = {
         "metric": "inference_cubes_per_s_per_chip",
@@ -194,6 +238,8 @@ def main():
     }
     if cubes_per_s_64 is not None:
         rec["cubes_per_s_64"] = round(cubes_per_s_64, 2)
+    if train_steps_per_s is not None:
+        rec["train_steps_per_s"] = round(train_steps_per_s, 1)
     print(json.dumps(rec))
 
 

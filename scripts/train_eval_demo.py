@@ -44,7 +44,10 @@ def main(n_steps: int = 1500):
             n_pool_views=6,
         ),
         sweep=SweepConfig(cube_batch=16, use_pallas_gather=on_tpu),
-        train=TrainConfig(batch_size=16, lr=3e-3, seed=0),
+        train=TrainConfig(
+            batch_size=16, lr=3e-3, seed=0, n_steps=n_steps,
+            lr_decay=os.environ.get("DEMO_LR_DECAY", "none"),
+        ),
     )
     scene = make_sphere_scene(n_views=12, hw=(600, 800), radius=30.0)
     P(f"scene: {scene.images.shape}, backend {jax.default_backend()}")

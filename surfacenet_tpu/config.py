@@ -178,6 +178,9 @@ class TrainConfig:
     # steps fused per device dispatch (lax.scan) when the scene supports
     # device-side sampling (analytic surface); 0 = one dispatch per step.
     scan_chunk: int = 25
+    # "none" (reference-faithful fixed SGD) or "cosine" (decay to 5% of lr
+    # over n_steps — long runs keep less update noise in the final weights).
+    lr_decay: str = "none"
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     seed: int = 0

@@ -39,9 +39,17 @@ def create_train_state(cfg: Config, rng: jax.Array) -> Tuple[SurfaceNet, TrainSt
     model, variables = init_surfacenet(
         cfg.model, rng, D=cfg.voxel.cube_size
     )
+    if cfg.train.lr_decay == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.train.lr, decay_steps=max(cfg.train.n_steps, 1), alpha=0.05
+        )
+    elif cfg.train.lr_decay == "none":
+        lr = cfg.train.lr
+    else:
+        raise ValueError(f"unknown lr_decay {cfg.train.lr_decay!r}")
     tx = optax.chain(
         optax.add_decayed_weights(cfg.train.weight_decay),
-        optax.sgd(cfg.train.lr, momentum=cfg.train.momentum),
+        optax.sgd(lr, momentum=cfg.train.momentum),
     )
     state = TrainState.create(
         apply_fn=model.apply,

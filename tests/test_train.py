@@ -220,6 +220,24 @@ def test_train_surfacenet_scan_path_reduces_loss(small_scene):
     assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
 
 
+def test_lr_decay_cosine():
+    import pytest
+
+    cfg = _cfg()
+    cfg = Config(
+        voxel=cfg.voxel, model=cfg.model,
+        train=TrainConfig(lr=1e-2, n_steps=100, lr_decay="cosine"),
+    )
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    assert state is not None
+    bad = Config(
+        voxel=cfg.voxel, model=cfg.model,
+        train=TrainConfig(lr_decay="linear"),
+    )
+    with pytest.raises(ValueError):
+        create_train_state(bad, jax.random.PRNGKey(0))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg()
     _, state = create_train_state(cfg, jax.random.PRNGKey(0))
