@@ -35,7 +35,10 @@ def main(ckpt_dir: str, step=None):
     )
     state, got = restore_checkpoint(ckpt_dir, base, step)
     P(f"restored step {got} from {ckpt_dir}")
-    scene = make_sphere_scene(n_views=12, hw=(600, 800), radius=30.0)
+    focal = float(os.environ.get("DEMO_FOCAL", "1000"))
+    scene = make_sphere_scene(
+        n_views=12, hw=(600, 800), radius=30.0, focal=focal
+    )
     gt = scene.surface_points(8000)
 
     model = SurfaceNet(base.model)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from surfacenet_tpu.config import (
     Config, FusionConfig, ModelConfig, SweepConfig, TrainConfig, VoxelConfig,
 )
-from surfacenet_tpu.data.synthetic import make_sphere_scene
+from surfacenet_tpu.data.synthetic import make_sphere_scene, make_tori_scene
 from surfacenet_tpu.models.surfacenet import SurfaceNet
 from surfacenet_tpu.pipeline.sweep import run_sweep
 from surfacenet_tpu.train.train_surface import (
@@ -49,8 +49,18 @@ def main(n_steps: int = 1500):
             lr_decay=os.environ.get("DEMO_LR_DECAY", "none"),
         ),
     )
-    scene = make_sphere_scene(n_views=12, hw=(600, 800), radius=30.0)
-    P(f"scene: {scene.images.shape}, backend {jax.default_backend()}")
+    # focal=1000 at 600x800 fills the frame DTU-style (~4 px per 0.5 mm
+    # voxel); the historical focal=200 under-resolves adjacent voxels.
+    focal = float(os.environ.get("DEMO_FOCAL", "1000"))
+    which = os.environ.get("DEMO_SCENE", "sphere")
+    if which == "tori":
+        scene = make_tori_scene(n_views=12, hw=(600, 800), focal=focal)
+    else:
+        scene = make_sphere_scene(
+            n_views=12, hw=(600, 800), radius=30.0, focal=focal
+        )
+    P(f"scene: {which} {scene.images.shape} focal {focal}, "
+      f"backend {jax.default_backend()}")
 
     _, state = create_train_state(cfg, jax.random.PRNGKey(0))
     images = jnp.asarray(scene.images, jnp.float32)

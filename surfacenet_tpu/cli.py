@@ -211,6 +211,10 @@ def cmd_train(args):
 
         scan = load_scan(args.scan, downsample=args.downsample)
         scene = PointCloudScene.from_scan(scan, args.gt)
+    elif args.synthetic == "tori":
+        from surfacenet_tpu.data.synthetic import make_tori_scene
+
+        scene = make_tori_scene(n_views=8, hw=(240, 320))
     else:
         scene = make_sphere_scene(n_views=8, hw=(240, 320))
     state, log = train_surfacenet(
@@ -382,6 +386,10 @@ def main(argv=None):
     pt = sub.add_parser("train", help="train SurfaceNet")
     pt.add_argument("--scan")
     pt.add_argument("--gt", help="GT point-cloud .ply for --scan training")
+    pt.add_argument(
+        "--synthetic", choices=("sphere", "tori"), default="sphere",
+        help="golden scene to train on when no --scan is given",
+    )
     pt.add_argument("--downsample", type=int, default=1)
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--checkpoint-dir", default="checkpoints")
