@@ -217,8 +217,10 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
 
 @functools.partial(
     jax.jit,
+    # tau/gamma are traced scalars: operating-point sweeps (threshold
+    # tuning) reuse one compiled program across (tau, gamma) values.
     static_argnames=(
-        "D", "s", "n_pairs", "tau", "gamma", "adaptive", "center_colors",
+        "D", "s", "n_pairs", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
         "compact_output", "compact_k", "pool_window",
