@@ -466,11 +466,11 @@ def unpack_compact(rec: np.ndarray, counts: np.ndarray, D: int):
     ) | (rec[..., 1].astype(np.int64) << 8) | rec[..., 2].astype(np.int64)
     prob = rec[..., 3].astype(np.float32) / 255.0
     live = rec[..., 3] > 0
-    for c in range(Nc):
-        li = idx[c][live[c]]
-        occ[c][li] = True
-        fused[c][li] = prob[c][live[c]]
-        color[c][li] = rec[c, live[c], 4:7].astype(np.float32) / 255.0
+    r, c = np.nonzero(live)  # vectorized scatter across all cubes
+    li = idx[r, c]
+    occ[r, li] = True
+    fused[r, li] = prob[r, c]
+    color[r, li] = rec[r, c, 4:7].astype(np.float32) / 255.0
     return (
         occ.reshape(Nc, D, D, D),
         fused.reshape(Nc, D, D, D),
