@@ -45,7 +45,7 @@ def run_point(scene, gt, D: int, cube_batch: int) -> None:
             cube_batch=cube_batch, use_pallas_gather=on_tpu
         ),
     )
-    model, variables = load_pretrained("weights/golden_sphere_12k", cfg)
+    model, variables = load_pretrained("weights/golden_sphere_30k", cfg)
     predict = make_predictor(model, variables, cfg.model)
     t0 = time.perf_counter()
     store, stats = run_sweep(

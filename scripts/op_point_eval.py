@@ -14,7 +14,7 @@ import numpy as np
 import jax
 
 from surfacenet_tpu.config import (
-    Config, FusionConfig, ModelConfig, SweepConfig, VoxelConfig,
+    Config, FusionConfig, ModelConfig, SweepConfig, TrainConfig, VoxelConfig,
 )
 from surfacenet_tpu.data.synthetic import make_sphere_scene
 from surfacenet_tpu.models.surfacenet import SurfaceNet
@@ -32,6 +32,11 @@ def main(ckpt_dir: str, step=None):
         voxel=VoxelConfig(voxel_size_mm=s_mm, cube_size=32, overlap=8),
         model=ModelConfig(),
         sweep=SweepConfig(cube_batch=32, use_pallas_gather=on_tpu),
+        # opt-state template must match how the checkpoint was trained
+        train=TrainConfig(
+            batch_size=16, lr=3e-3, seed=0, n_steps=30000,
+            lr_decay=os.environ.get("DEMO_LR_DECAY", "none"),
+        ),
     )
     state, got = restore_checkpoint(ckpt_dir, base, step)
     P(f"restored step {got} from {ckpt_dir}")

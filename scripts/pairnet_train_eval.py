@@ -59,7 +59,7 @@ def main(n_steps: int = 1500):
     save_pairnet("weights", variables, step=n_steps)
     P(f"saved weights/pairnet_{n_steps}")
 
-    sn_model, sn_vars = load_pretrained("weights/golden_sphere_12k", cfg)
+    sn_model, sn_vars = load_pretrained("weights/golden_sphere_30k", cfg)
     predict = make_predictor(sn_model, sn_vars, cfg.model)
     gt = scene.surface_points(8000)
 

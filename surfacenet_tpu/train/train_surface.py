@@ -640,7 +640,7 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
 def load_pretrained(path: str, cfg: Config):
     """Load a params-only inference checkpoint (SURVEY.md C13).
 
-    The repo ships ``weights/golden_sphere_12k`` (trained on the synthetic
+    The repo ships ``weights/golden_sphere_30k`` (trained on the synthetic
     golden scene — the published-weights role of the reference's download
     scripts, which cannot be fetched in this offline environment).
 

@@ -296,7 +296,7 @@ def test_load_pretrained_shipped_weights():
     from surfacenet_tpu.train.train_surface import load_pretrained
 
     path = os.path.join(os.path.dirname(__file__), "..", "weights",
-                        "golden_sphere_12k")
+                        "golden_sphere_30k")
     if not os.path.isdir(path):
         import pytest
 
