@@ -16,7 +16,7 @@ import jax
 from surfacenet_tpu.config import (
     Config, FusionConfig, ModelConfig, SweepConfig, TrainConfig, VoxelConfig,
 )
-from surfacenet_tpu.data.synthetic import make_sphere_scene
+from surfacenet_tpu.data.synthetic import make_sphere_scene, make_tori_scene
 from surfacenet_tpu.models.surfacenet import SurfaceNet
 from surfacenet_tpu.pipeline.sweep import run_sweep
 from surfacenet_tpu.train.train_surface import restore_checkpoint
@@ -41,9 +41,12 @@ def main(ckpt_dir: str, step=None):
     state, got = restore_checkpoint(ckpt_dir, base, step)
     P(f"restored step {got} from {ckpt_dir}")
     focal = float(os.environ.get("DEMO_FOCAL", "1000"))
-    scene = make_sphere_scene(
-        n_views=12, hw=(600, 800), radius=30.0, focal=focal
-    )
+    if os.environ.get("DEMO_SCENE", "sphere") == "tori":
+        scene = make_tori_scene(n_views=12, hw=(600, 800), focal=focal)
+    else:
+        scene = make_sphere_scene(
+            n_views=12, hw=(600, 800), radius=30.0, focal=focal
+        )
     gt = scene.surface_points(8000)
 
     model = SurfaceNet(base.model)
