@@ -123,6 +123,26 @@ def test_train_cli_with_scan_and_gt(tmp_path, small_scene):
     )
 
 
+def test_train_cli_synthetic_tori(tmp_path):
+    """--synthetic tori trains on the hard-geometry golden scene (scan
+    path: SDF labels on device)."""
+    main(
+        [
+            "train", "--synthetic", "tori", "--steps", "2",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", 'model.block_channels=[8,12,16,16]',
+            "--set", 'model.convs_per_block=[1,1,1,1]',
+            "--set", "model.side_channels=4",
+            "--set", 'model.dtype="float32"',
+            "--set", "train.batch_size=4",
+            "--set", "train.scan_chunk=2",
+        ]
+    )
+
+
 def test_reconstruct_cli_sharded(tmp_path, small_scene):
     """--sharded routes through run_sweep_sharded on the 8-device mesh."""
     from surfacenet_tpu.data.dtu import write_scan
