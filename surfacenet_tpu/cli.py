@@ -217,9 +217,25 @@ def cmd_train(args):
         scene = make_tori_scene(n_views=8, hw=(240, 320))
     else:
         scene = make_sphere_scene(n_views=8, hw=(240, 320))
+    mesh = None
+    if args.sharded:
+        from surfacenet_tpu.parallel.distributed import init_distributed
+        from surfacenet_tpu.parallel.mesh import make_mesh
+
+        init_distributed()
+        n_dev = len(jax.devices())
+        if cfg.train.batch_size % n_dev:
+            print(
+                f"train --sharded needs batch_size="
+                f"{cfg.train.batch_size} to divide the {n_dev} device(s); "
+                f"running unsharded instead"
+            )
+        else:
+            mesh = make_mesh()
     state, log = train_surfacenet(
         scene, cfg, n_steps=args.steps,
         checkpoint_dir=args.checkpoint_dir, log_every=args.log_every,
+        mesh=mesh,
     )
     print(
         f"trained {args.steps} steps; loss {log.losses[0]:.4f} -> "
@@ -389,6 +405,11 @@ def main(argv=None):
     pt.add_argument(
         "--synthetic", choices=("sphere", "tori"), default="sphere",
         help="golden scene to train on when no --scan is given",
+    )
+    pt.add_argument(
+        "--sharded", action="store_true",
+        help="data-parallel training over all devices (mesh dp; "
+        "batch_size must divide the device count)",
     )
     pt.add_argument("--downsample", type=int, default=1)
     pt.add_argument("--steps", type=int, default=1000)

@@ -491,14 +491,19 @@ def train_surfacenet(
     state: Optional[TrainState] = None,
     checkpoint_dir: Optional[str] = None,
     log_every: int = 50,
+    mesh=None,
 ) -> Tuple[TrainState, TrainLog]:
-    """Single-host training driver.
+    """Training driver (single-host, or data-parallel over a mesh).
 
     Args:
       scene: a TrainScene (synthetic or PointCloudScene) or a sequence of
         them — multi-scene training round-robins scenes per step (the
         reference trains across the DTU training scans; SURVEY.md C11).
         Scenes must share image resolution (one compiled step program).
+      mesh: optional jax.sharding.Mesh — params/images replicate, the
+        minibatch dp-shards over every mesh axis inside the scanned step
+        (batch_size must divide the device count).  Requires the scan
+        path (scan_chunk > 0, single scene).
     """
     scenes = list(scene) if isinstance(scene, (list, tuple)) else [scene]
     rng = np.random.default_rng(cfg.train.seed)
@@ -507,8 +512,31 @@ def train_surfacenet(
             cfg, jax.random.PRNGKey(cfg.train.seed)
         )
 
+    batch_sharding = None
+    if mesh is not None:
+        from surfacenet_tpu.parallel.mesh import cube_sharded, replicated
+
+        if cfg.train.scan_chunk <= 0 or len(scenes) != 1:
+            raise ValueError(
+                "mesh training requires the scan path "
+                "(train.scan_chunk > 0, single scene)"
+            )
+        if cfg.train.batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size={cfg.train.batch_size} must divide the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        batch_sharding = cube_sharded(mesh)
+        state = jax.device_put(state, replicated(mesh))
+
     images_d = [jnp.asarray(sc.images, jnp.float32) for sc in scenes]
     Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
+    if mesh is not None:
+        from surfacenet_tpu.parallel.mesh import replicated
+
+        rep = replicated(mesh)
+        images_d = [jax.device_put(x, rep) for x in images_d]
+        Ps_d = [jax.device_put(x, rep) for x in Ps_d]
     n_steps = n_steps if n_steps is not None else cfg.train.n_steps
 
     # Pallas warp-gather for the training CVCs (TPU): one crop size across
@@ -550,6 +578,18 @@ def train_surfacenet(
         if sampler is None:
             # no analytic surface (PointCloudScene): pooled labels instead
             pool = make_pool_sampler(scenes[0], cfg, seed=cfg.train.seed)
+    if mesh is not None and sampler is None and pool is None:
+        raise ValueError("mesh training requires a device-samplable scene")
+    if mesh is not None:
+        from surfacenet_tpu.parallel.mesh import replicated
+
+        rep = replicated(mesh)
+        if sampler is not None:
+            sampler = jax.device_put(sampler[:2], rep) + sampler[2:3] + (
+                jax.device_put(sampler[3], rep),
+            )
+        if pool is not None:
+            pool = jax.device_put(pool, rep)
     if sampler is not None or pool is not None:
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         done = 0
@@ -562,6 +602,7 @@ def train_surfacenet(
                 balanced=cfg.train.class_balance,
                 center_colors=cfg.voxel.center_colors,
                 use_pallas=use_pallas, crop_hw=crop_hw,
+                batch_sharding=batch_sharding,
             )
             if sampler is not None:
                 cand_pts, cand_pairs, surf_fn, surf_params = sampler

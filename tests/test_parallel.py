@@ -221,3 +221,59 @@ def test_train_steps_scan_sharded_matches_unsharded(small_scene):
         jax.tree_util.tree_leaves(s2.params),
     ):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_surfacenet_mesh_driver(small_scene):
+    """train_surfacenet(mesh=...) reproduces the single-device run."""
+    import jax
+    import numpy as np
+
+    from surfacenet_tpu.config import Config, ModelConfig, TrainConfig, VoxelConfig
+    from surfacenet_tpu.parallel.mesh import make_mesh
+    from surfacenet_tpu.train.train_surface import train_surfacenet
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=8, lr=1e-2, n_steps=6, seed=0,
+                          scan_chunk=3),
+    )
+    s1, log1 = train_surfacenet(small_scene, cfg, log_every=1)
+    s2, log2 = train_surfacenet(small_scene, cfg, log_every=1,
+                                mesh=make_mesh())
+    assert np.allclose(log1.losses, log2.losses, atol=1e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_surfacenet_mesh_driver_validates():
+    import pytest
+
+    from surfacenet_tpu.config import Config, ModelConfig, TrainConfig, VoxelConfig
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.parallel.mesh import make_mesh
+    from surfacenet_tpu.train.train_surface import train_surfacenet
+
+    scene = make_sphere_scene(n_views=4, hw=(60, 80))
+    base = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+    )
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="divide"):
+        train_surfacenet(
+            scene,
+            Config(voxel=base.voxel, model=base.model,
+                   train=TrainConfig(batch_size=3, scan_chunk=2)),
+            n_steps=2, mesh=mesh,
+        )
+    with pytest.raises(ValueError, match="scan path"):
+        train_surfacenet(
+            scene,
+            Config(voxel=base.voxel, model=base.model,
+                   train=TrainConfig(batch_size=8, scan_chunk=0)),
+            n_steps=2, mesh=mesh,
+        )
