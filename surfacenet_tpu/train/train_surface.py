@@ -422,6 +422,47 @@ def make_pool_sampler(
     )
 
 
+def make_pool_sampler_multi(
+    scenes, cfg: Config, n_pool: int = 2048, seed: int = 0
+):
+    """Multi-scene pooled sampler (the reference trains across the DTU
+    training scans; SURVEY.md C11).
+
+    Scenes must share image resolution.  The scenes' views are stacked
+    into one (S*V, H, W, 3) image array and each scene's pool pair
+    indices are offset by its view base — pairs only ever form within a
+    scene, so ``train_steps_scan_pool`` runs unchanged over the union
+    pool.  Returns (images, Ps, (origins, pairs, labels_packed)).
+    """
+    S = len(scenes)
+    hw = scenes[0].images.shape
+    for sc in scenes:
+        if sc.images.shape != hw:
+            raise ValueError(
+                "multi-scene pool needs equal image shapes; got "
+                f"{sc.images.shape} vs {hw}"
+            )
+    per = max(1, n_pool // S)
+    origins, pairs, labels = [], [], []
+    for i, sc in enumerate(scenes):
+        o, p, l = make_pool_sampler(sc, cfg, n_pool=per, seed=seed + i)
+        origins.append(o)
+        pairs.append(p + i * sc.images.shape[0])
+        labels.append(l)
+    images = jnp.asarray(
+        np.concatenate([sc.images for sc in scenes], axis=0), jnp.float32
+    )
+    Ps = jnp.asarray(
+        np.concatenate([sc.Ps for sc in scenes], axis=0), jnp.float32
+    )
+    pool = (
+        jnp.concatenate(origins, axis=0),
+        jnp.concatenate(pairs, axis=0),
+        jnp.concatenate(labels, axis=0),
+    )
+    return images, Ps, pool
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -516,10 +557,9 @@ def train_surfacenet(
     if mesh is not None:
         from surfacenet_tpu.parallel.mesh import cube_sharded, replicated
 
-        if cfg.train.scan_chunk <= 0 or len(scenes) != 1:
+        if cfg.train.scan_chunk <= 0:
             raise ValueError(
-                "mesh training requires the scan path "
-                "(train.scan_chunk > 0, single scene)"
+                "mesh training requires the scan path (train.scan_chunk > 0)"
             )
         if cfg.train.batch_size % mesh.devices.size != 0:
             raise ValueError(
@@ -573,17 +613,27 @@ def train_surfacenet(
     # removes the ~57 ms/step host sampler and the per-dispatch floor.
     # Single-scene only (multi-scene round-robins host-side below).
     sampler = pool = None
+    scan_images, scan_Ps = images_d[0], Ps_d[0]
     if cfg.train.scan_chunk > 0 and len(scenes) == 1:
         sampler = make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
         if sampler is None:
             # no analytic surface (PointCloudScene): pooled labels instead
             pool = make_pool_sampler(scenes[0], cfg, seed=cfg.train.seed)
+    elif cfg.train.scan_chunk > 0 and len(
+        {sc.images.shape for sc in scenes}
+    ) == 1:
+        # multi-scene: one union pool over stacked views
+        scan_images, scan_Ps, pool = make_pool_sampler_multi(
+            scenes, cfg, seed=cfg.train.seed
+        )
     if mesh is not None and sampler is None and pool is None:
         raise ValueError("mesh training requires a device-samplable scene")
     if mesh is not None:
         from surfacenet_tpu.parallel.mesh import replicated
 
         rep = replicated(mesh)
+        scan_images = jax.device_put(scan_images, rep)
+        scan_Ps = jax.device_put(scan_Ps, rep)
         if sampler is not None:
             sampler = jax.device_put(sampler[:2], rep) + sampler[2:3] + (
                 jax.device_put(sampler[3], rep),
@@ -607,13 +657,13 @@ def train_surfacenet(
             if sampler is not None:
                 cand_pts, cand_pairs, surf_fn, surf_params = sampler
                 state, losses = train_steps_scan(
-                    state, images_d[0], Ps_d[0],
+                    state, scan_images, scan_Ps,
                     cand_pts, cand_pairs, surf_params, sub,
                     surf_fn=surf_fn, **kw,
                 )
             else:
                 state, losses = train_steps_scan_pool(
-                    state, images_d[0], Ps_d[0], *pool, sub, **kw
+                    state, scan_images, scan_Ps, *pool, sub, **kw
                 )
             losses = np.asarray(losses)
             for i in range(K):

@@ -205,6 +205,37 @@ def test_train_surfacenet_pool_path_reduces_loss(small_scene):
     assert np.mean(log.losses[-5:]) < np.mean(log.losses[:5])
 
 
+def test_multi_scene_pool_sampler_and_training(small_scene):
+    """Multi-scene scan training: union pool over stacked views, pair
+    indices stay within each scene's view block (SURVEY.md C11 multi-scan
+    training, now on the fast scan path)."""
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.train.train_surface import make_pool_sampler_multi
+
+    scene2 = make_sphere_scene(n_views=4, hw=(90, 120), radius=22.0, seed=5)
+    cfg = _cfg()
+    images, Ps, (origins, pairs, labels) = make_pool_sampler_multi(
+        [small_scene, scene2], cfg, n_pool=32
+    )
+    V = small_scene.images.shape[0]
+    assert images.shape[0] == 2 * V and Ps.shape[0] == 2 * V
+    p = np.asarray(pairs)
+    n1 = p.shape[0] // 2
+    assert (p[:n1] < V).all()  # scene-1 pairs index scene-1 views
+    assert (p[n1:] >= V).all() and (p[n1:] < 2 * V).all()
+
+    cfg_scan = Config(
+        voxel=cfg.voxel, model=cfg.model,
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=30, seed=0,
+                          scan_chunk=10),
+    )
+    state, log = train_surfacenet(
+        [small_scene, scene2], cfg_scan, n_steps=30, log_every=1
+    )
+    assert len(log.losses) == 30
+    assert np.mean(log.losses[-5:]) < np.mean(log.losses[:5])
+
+
 def test_train_surfacenet_scan_path_reduces_loss(small_scene):
     """Driver routes through the scan path (scan_chunk>0) and still learns."""
     cfg = _cfg()
