@@ -274,19 +274,30 @@ def cmd_train_pairnet(args):
 
 def cmd_selftest(args):
     from surfacenet_tpu.config import Config, FusionConfig, SweepConfig, VoxelConfig
-    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.data.synthetic import make_sphere_scene, make_tori_scene
     from surfacenet_tpu.pipeline.sweep import (
         photoconsistency_predictor,
         run_sweep,
     )
     from surfacenet_tpu.utils.metrics import accuracy_completeness
 
+    hard = getattr(args, "scene", "sphere") == "tori"
     cfg = Config(
         voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
-        fusion=FusionConfig(n_view_pairs=3, tau=0.25, gamma=0.6),
+        fusion=FusionConfig(
+            n_view_pairs=3, tau=0.25, gamma=0.6,
+            # the 10mm tube is 5 voxels at s=2: window must stay 1 voxel
+            # (see tests/test_golden_tori.py)
+            **({"pool_window_vox": 1, "ray_pool_mode": "affine"}
+               if hard else {}),
+        ),
         sweep=SweepConfig(cube_batch=8),
     )
-    scene = make_sphere_scene(n_views=8, hw=(120, 160))
+    scene = (
+        make_tori_scene(n_views=8, hw=(120, 160))
+        if hard
+        else make_sphere_scene(n_views=8, hw=(120, 160))
+    )
     store, stats = run_sweep(
         scene.images, scene.Ps, scene.bbox_min, scene.bbox_max, cfg,
         photoconsistency_predictor,
@@ -448,6 +459,10 @@ def main(argv=None):
     pa.set_defaults(fn=cmd_reconstruct_all)
 
     ps = sub.add_parser("selftest", help="synthetic golden-scene run")
+    ps.add_argument(
+        "--scene", choices=("sphere", "tori"), default="sphere",
+        help="golden scene (tori = occlusions/concavities stress)",
+    )
     ps.set_defaults(fn=cmd_selftest)
 
     pe = sub.add_parser("eval", help="evaluate predicted .ply vs GT .ply")
