@@ -180,10 +180,15 @@ def cmd_reconstruct(args):
     else:
         from surfacenet_tpu.pipeline.sweep import run_sweep
 
+        metrics = None
+        if getattr(args, "metrics_out", None):
+            from surfacenet_tpu.utils.observability import Metrics
+
+            metrics = Metrics(args.metrics_out)
         store, stats = run_sweep(
             scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
             predictor, pair_selector=pair_selector,
-            ledger_path=args.ledger,
+            ledger_path=args.ledger, metrics=metrics,
         )
     n = store.export_ply(args.out)
     print(
@@ -404,6 +409,9 @@ def main(argv=None):
                     help="mesh-sharded sweep (auto when mesh.block_axis>1); "
                          "--ledger is then a directory of per-block ledgers")
     pr.add_argument("--ledger")
+    pr.add_argument("--metrics-out",
+                    help="append a JSONL record of sweep counters/gauges "
+                         "(cubes, occupancy, truncation re-fetches) here")
     pr.add_argument("--downsample", type=int, default=1)
     pr.add_argument("--preset")
     pr.add_argument("--config")

@@ -670,5 +670,11 @@ def run_sweep(
         wall = _time.perf_counter() - t0
         metrics.gauge("sweep_wall_s", wall)
         metrics.gauge("cubes_per_s", n / wall if wall > 0 else 0.0)
-        metrics.flush()
+        metrics.flush(
+            extra={
+                "n_cubes_total": stats.n_cubes_total,
+                "n_cubes_after_prefilter": stats.n_cubes_after_prefilter,
+                "n_cubes_nonempty": stats.n_cubes_nonempty,
+            }
+        )
     return store, stats
