@@ -35,8 +35,13 @@ def main(which: str, weights: str):
     s_mm = float(os.environ.get("DEMO_VOXEL_MM", "0.5"))
     tau = float(os.environ.get("TAU", "0.8"))
     gamma = float(os.environ.get("GAMMA", "0.7"))
+    hw = tuple(
+        int(v) for v in os.environ.get("DEMO_HW", "600x800").split("x")
+    )
+    cube = int(os.environ.get("DEMO_CUBE", "32"))
     cfg = Config(
-        voxel=VoxelConfig(voxel_size_mm=s_mm, cube_size=32, overlap=8),
+        voxel=VoxelConfig(voxel_size_mm=s_mm, cube_size=cube,
+                          overlap=cube // 4),
         model=ModelConfig(),
         fusion=FusionConfig(
             n_view_pairs=4, tau=tau, gamma=gamma,
@@ -45,14 +50,14 @@ def main(which: str, weights: str):
         ),
         sweep=SweepConfig(cube_batch=32, use_pallas_gather=on_tpu),
     )
+    # defaults match how the shipped weights were trained (600x800 frames)
     if which == "tori":
         focal = float(os.environ.get("DEMO_FOCAL", "800"))
-        scene = make_tori_scene(n_views=12, hw=(600, 800), focal=focal)
+        scene = make_tori_scene(n_views=12, hw=hw, focal=focal)
     else:
         focal = float(os.environ.get("DEMO_FOCAL", "200"))
-        scene = make_sphere_scene(
-            n_views=12, hw=(600, 800), radius=30.0, focal=focal
-        )
+        scene = make_sphere_scene(n_views=12, hw=hw, radius=30.0,
+                                  focal=focal)
     model, variables = load_pretrained(weights, cfg)
 
     def predictor(x, origins):
