@@ -86,25 +86,27 @@ def main(n_steps: int = 1500):
     cand_pts, cand_pairs, surf_fn, surf_params = make_device_sampler(
         scene, cfg, n_candidates=8192, seed=0
     )
-    K = 50
-    n_steps = (n_steps // K) * K or K
+    K = min(50, n_steps)
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    for done in range(0, n_steps, K):
+    done = 0
+    while done < n_steps:
+        k = min(K, n_steps - done)  # remainder chunk: one extra compile
         key, sub = jax.random.split(key)
         state, losses = train_steps_scan(
             state, images, Ps, cand_pts, cand_pairs, surf_params, sub,
-            surf_fn=surf_fn, K=K, batch=cfg.train.batch_size,
+            surf_fn=surf_fn, K=k, batch=cfg.train.batch_size,
             D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
             balanced=True, center_colors=True,
             use_pallas=use_pallas, crop_hw=tuple(crop_hw),
         )
-        if done % 500 == 0 or done + K == n_steps:
+        if done % 500 < k or done + k == n_steps:
             dt = time.perf_counter() - t0
-            P(f"step {done + K}: loss {float(losses[-1]):.4f} "
-              f"({dt:.0f}s, {(done + K) / dt:.1f} steps/s)")
-        if done and done % 5000 < K:  # periodic: survive walltime kills
-            save_checkpoint("/tmp/sn_demo_ckpt", state, done + K)
+            P(f"step {done + k}: loss {float(losses[-1]):.4f} "
+              f"({dt:.0f}s, {(done + k) / dt:.1f} steps/s)")
+        if done and done % 5000 < k:  # periodic: survive walltime kills
+            save_checkpoint("/tmp/sn_demo_ckpt", state, done + k)
+        done += k
     save_checkpoint("/tmp/sn_demo_ckpt", state, n_steps)
     P(f"trained {n_steps} steps in {time.perf_counter()-t0:.0f}s")
 

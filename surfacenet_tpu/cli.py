@@ -165,12 +165,17 @@ def cmd_reconstruct(args):
                 f"{n_dev} available device(s); running unsharded instead"
             )
             sharded = False
+    metrics = None
+    if getattr(args, "metrics_out", None):
+        from surfacenet_tpu.utils.observability import Metrics
+
+        metrics = Metrics(args.metrics_out)
     if sharded:
         from surfacenet_tpu.parallel.sweep_sharded import run_sweep_sharded
         store, stats = run_sweep_sharded(
             scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
             predictor, pair_selector=pair_selector,
-            ledger_dir=args.ledger,
+            ledger_dir=args.ledger, metrics=metrics,
         )
         print(
             f"sharded sweep: {stats.n_rounds} rounds, "
@@ -180,11 +185,6 @@ def cmd_reconstruct(args):
     else:
         from surfacenet_tpu.pipeline.sweep import run_sweep
 
-        metrics = None
-        if getattr(args, "metrics_out", None):
-            from surfacenet_tpu.utils.observability import Metrics
-
-            metrics = Metrics(args.metrics_out)
         store, stats = run_sweep(
             scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
             predictor, pair_selector=pair_selector,
@@ -232,8 +232,8 @@ def cmd_train(args):
         if cfg.train.batch_size % n_dev:
             print(
                 f"train --sharded needs batch_size="
-                f"{cfg.train.batch_size} to divide the {n_dev} device(s); "
-                f"running unsharded instead"
+                f"{cfg.train.batch_size} to be a multiple of the {n_dev} "
+                f"device(s); running unsharded instead"
             )
         else:
             mesh = make_mesh()
@@ -428,7 +428,7 @@ def main(argv=None):
     pt.add_argument(
         "--sharded", action="store_true",
         help="data-parallel training over all devices (mesh dp; "
-        "batch_size must divide the device count)",
+        "batch_size must be a multiple of the device count)",
     )
     pt.add_argument("--downsample", type=int, default=1)
     pt.add_argument("--steps", type=int, default=1000)

@@ -80,6 +80,7 @@ def run_sweep_sharded(
     mesh=None,
     pair_selector: Optional[Callable] = None,
     ledger_dir: Optional[str] = None,
+    metrics=None,
 ) -> Tuple[SparseCubeStore, ShardedSweepStats]:
     """Sharded sweep over the mesh; returns a merged store + scaling stats."""
     from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
@@ -281,6 +282,18 @@ def run_sweep_sharded(
     stats.cubes_per_s = (
         n_processed / stats.wall_s if stats.wall_s > 0 else 0.0
     )
+    if metrics is not None:
+        metrics.count("cubes_processed", n_processed)
+        metrics.gauge("sweep_wall_s", stats.wall_s)
+        metrics.gauge("cubes_per_s", stats.cubes_per_s)
+        metrics.gauge("n_rounds", stats.n_rounds)
+        metrics.flush(
+            extra={
+                "n_cubes_total": stats.n_cubes_total,
+                "n_cubes_after_prefilter": stats.n_cubes_after_prefilter,
+                "per_block_cubes": list(stats.per_block_cubes or []),
+            }
+        )
 
     # merge blocks: block stores share the scene frame, so their cube
     # records concatenate into one global store (boundary-overlap voxels get

@@ -544,6 +544,16 @@ def run_sweep(
     grid, origins = grid[todo], origins[todo]
 
     if len(origins) == 0:
+        if metrics is not None:  # still record the (zero-cube) run
+            metrics.gauge("sweep_wall_s", 0.0)
+            metrics.gauge("cubes_per_s", 0.0)
+            metrics.flush(
+                extra={
+                    "n_cubes_total": stats.n_cubes_total,
+                    "n_cubes_after_prefilter": stats.n_cubes_after_prefilter,
+                    "n_cubes_nonempty": stats.n_cubes_nonempty,
+                }
+            )
         return store, stats
 
     if pair_selector is None:
@@ -645,10 +655,13 @@ def run_sweep(
                 stats.n_cubes_nonempty += 1
             store.add(CubeResult(gi, occ[i], fused[i], color[i]))
         if metrics is not None:
-            metrics.count("cubes_processed", min(B, n - b0))
-            metrics.count("voxels_occupied", float(occ.sum()))
+            nb = min(B, n - b0)  # exclude padding slots (cube-0 copies)
+            metrics.count("cubes_processed", nb)
+            metrics.count("voxels_occupied", float(occ[:nb].sum()))
             metrics.gauge(
-                "occupancy_rate", float(occ.mean())
+                "occupancy_rate",
+                metrics.data["voxels_occupied"]
+                / (metrics.data["cubes_processed"] * D**3),
             )
 
     # pipelined: keep a few batches in flight so host-side harvest (sync +

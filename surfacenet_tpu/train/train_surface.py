@@ -389,6 +389,11 @@ def make_pool_sampler(
 
     D = cfg.voxel.cube_size
     s = cfg.voxel.voxel_size_mm
+    if (D * D * D) % 8:
+        raise ValueError(
+            f"pool sampler packs labels bitwise: cube_size={D} needs "
+            f"D^3 divisible by 8 (use an even cube size)"
+        )
     rng = np.random.default_rng(seed)
 
     pts = scene.surface_points(n_pool, seed=seed)
@@ -543,8 +548,8 @@ def train_surfacenet(
         Scenes must share image resolution (one compiled step program).
       mesh: optional jax.sharding.Mesh — params/images replicate, the
         minibatch dp-shards over every mesh axis inside the scanned step
-        (batch_size must divide the device count).  Requires the scan
-        path (scan_chunk > 0, single scene).
+        (batch_size must be a multiple of the device count).  Requires
+        the scan path (scan_chunk > 0).
     """
     scenes = list(scene) if isinstance(scene, (list, tuple)) else [scene]
     rng = np.random.default_rng(cfg.train.seed)
@@ -563,20 +568,12 @@ def train_surfacenet(
             )
         if cfg.train.batch_size % mesh.devices.size != 0:
             raise ValueError(
-                f"batch_size={cfg.train.batch_size} must divide the "
-                f"{mesh.devices.size}-device mesh"
+                f"batch_size={cfg.train.batch_size} must be a multiple "
+                f"of the {mesh.devices.size}-device mesh"
             )
         batch_sharding = cube_sharded(mesh)
         state = jax.device_put(state, replicated(mesh))
 
-    images_d = [jnp.asarray(sc.images, jnp.float32) for sc in scenes]
-    Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
-    if mesh is not None:
-        from surfacenet_tpu.parallel.mesh import replicated
-
-        rep = replicated(mesh)
-        images_d = [jax.device_put(x, rep) for x in images_d]
-        Ps_d = [jax.device_put(x, rep) for x in Ps_d]
     n_steps = n_steps if n_steps is not None else cfg.train.n_steps
 
     # Pallas warp-gather for the training CVCs (TPU): one crop size across
@@ -611,14 +608,18 @@ def train_surfacenet(
 
     # Scan-chained path: K steps per dispatch with device-side sampling —
     # removes the ~57 ms/step host sampler and the per-dispatch floor.
-    # Single-scene only (multi-scene round-robins host-side below).
+    # Device image arrays are built ONLY for the chosen path (a multi-scene
+    # pool carries its own stacked copy; dead per-scene uploads would double
+    # image HBM).
     sampler = pool = None
-    scan_images, scan_Ps = images_d[0], Ps_d[0]
+    scan_images = scan_Ps = None
     if cfg.train.scan_chunk > 0 and len(scenes) == 1:
         sampler = make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
         if sampler is None:
             # no analytic surface (PointCloudScene): pooled labels instead
             pool = make_pool_sampler(scenes[0], cfg, seed=cfg.train.seed)
+        scan_images = jnp.asarray(scenes[0].images, jnp.float32)
+        scan_Ps = jnp.asarray(scenes[0].Ps, jnp.float32)
     elif cfg.train.scan_chunk > 0 and len(
         {sc.images.shape for sc in scenes}
     ) == 1:
@@ -678,6 +679,9 @@ def train_surfacenet(
                 save_checkpoint(checkpoint_dir, state, done)
         return state, log
 
+    # host-sampled fallback (scan_chunk=0, or mixed-resolution scenes)
+    images_d = [jnp.asarray(sc.images, jnp.float32) for sc in scenes]
+    Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
     for step in range(n_steps):
         si = step % len(scenes)
         origins, pair_idx, labels = sample_training_batch(

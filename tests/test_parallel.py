@@ -263,7 +263,7 @@ def test_train_surfacenet_mesh_driver_validates():
         model=ModelConfig.tiny(),
     )
     mesh = make_mesh()
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="multiple"):
         train_surfacenet(
             scene,
             Config(voxel=base.voxel, model=base.model,
