@@ -152,6 +152,22 @@ def test_sweep_resume(sphere_scene, tmp_path):
     p2, _, _ = store2.merge()
     assert len(p1) == len(p2)
 
+    # a fully-resumed (zero-cube) run still flushes a metrics record
+    from surfacenet_tpu.utils.observability import Metrics
+
+    mpath = str(tmp_path / "m.jsonl")
+    run_sweep(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max,
+        cfg, photoconsistency_predictor, ledger_path=ledger,
+        metrics=Metrics(mpath),
+    )
+    import json
+
+    rec = json.loads(open(mpath).read().splitlines()[-1])
+    assert rec["cubes_per_s"] == 0.0
+    assert rec["n_cubes_after_prefilter"] == stats1.n_cubes_after_prefilter
+
 
 def test_compact_truncation_refetches_dense(sphere_scene):
     """A compact_k too small for a cube's occupancy must not lose voxels.
