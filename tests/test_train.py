@@ -251,6 +251,34 @@ def test_train_surfacenet_scan_path_reduces_loss(small_scene):
     assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
 
 
+def test_eval_step_iou_improves_with_training(small_scene):
+    """eval_step reports loss + IoU@0.5; training must improve both on a
+    held-out batch."""
+    from surfacenet_tpu.train.train_surface import eval_step
+
+    cfg = _cfg()
+    rng = np.random.default_rng(99)
+    origins, pair_idx, labels = sample_training_batch(
+        small_scene, cfg, rng, batch=8
+    )
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+    kw = dict(D=16, s=2.0, center_colors=True)
+
+    _, state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+    loss0, iou0 = eval_step(
+        state0, images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(labels), **kw,
+    )
+    state1, _ = train_surfacenet(small_scene, cfg, n_steps=40, log_every=10)
+    loss1, iou1 = eval_step(
+        state1, images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(labels), **kw,
+    )
+    assert np.isfinite(float(loss1)) and float(loss1) < float(loss0)
+    assert float(iou1) >= float(iou0)
+
+
 def test_lr_decay_cosine():
     import pytest
 
