@@ -20,9 +20,38 @@ import time
 import numpy as np
 
 
+def _relay_preflight():
+    """Warn fast if the axon relay tunnel is dead (claim attempts would
+    otherwise hang ~25 min before erroring; see memory: the relay's
+    listeners die when the driver-side carrier drops)."""
+    import os
+    import socket
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            s.close()
+            return  # at least one listener alive
+        except OSError:
+            continue
+    print(
+        "bench: WARNING — axon relay ports refuse connections; the TPU "
+        "tunnel looks dead and backend init will hang ~25 min before "
+        "failing",
+        file=sys.stderr,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _relay_preflight()
 
     from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
     from surfacenet_tpu.data.synthetic import make_sphere_scene
