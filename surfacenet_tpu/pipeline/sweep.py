@@ -223,7 +223,7 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "D", "s", "n_pairs", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
-        "compact_output", "compact_k", "pool_window",
+        "compact_output", "compact_k", "pool_window", "pallas_interpret",
     ),
 )
 def cube_batch_step(
@@ -251,6 +251,9 @@ def cube_batch_step(
     compact_output: bool = False,
     compact_k: int = 0,  # records/cube for compact_output; <=0 = auto by D
     pool_window: int = 0,  # >0: windowed ray max (cross-cube-consistent)
+    pallas_interpret: bool = False,  # run Pallas kernels in interpret mode
+    #   (CPU integration tests of the TPU-native path; no effect on XLA
+    #   fallbacks)
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -287,7 +290,7 @@ def cube_batch_step(
     if use_pallas:
         colors, valids = warp_gather_tiled(
             images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s,
-            CH=crop_hw[0], CW=crop_hw[1],
+            CH=crop_hw[0], CW=crop_hw[1], interpret=pallas_interpret,
         )
     else:
         colors, valids = build_cvc_views(
@@ -343,7 +346,8 @@ def cube_batch_step(
         flat_pool_origins = jnp.repeat(origins, K, axis=0)
         flat_Ps = Ps[pool_views.reshape(-1)]  # (Nc*K, 3, 4)
         masks = ray_max_mask_affine_pallas(
-            flat_probs, flat_pool_origins, s, flat_Ps, window=pool_window
+            flat_probs, flat_pool_origins, s, flat_Ps, window=pool_window,
+            interpret=pallas_interpret,
         ).reshape(Nc, K, D, D, D)
         votes = jnp.sum(
             masks.astype(jnp.int32)

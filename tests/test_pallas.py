@@ -220,3 +220,49 @@ def test_affine_pool_pallas_windowed_matches_xla(scene):
             )
             agree = (got[i] == ref).mean()
             assert agree > 0.999, f"w={window} item {i}: agreement {agree}"
+
+
+def test_cube_batch_step_tpu_native_path_interpret(scene):
+    """Integration parity: the FULL fused device step on the TPU-native
+    path (Pallas warp gather + affine-Pallas pooling, interpret mode)
+    against the XLA-oracle path — catches crop-forwarding/tiling/pooling
+    integration regressions without hardware."""
+    import numpy as np
+
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.pipeline.sweep import (
+        cube_batch_step, photoconsistency_predictor,
+    )
+
+    D, s = 16, 2.0
+    hw = scene.images.shape[1:3]
+    origins = np.stack(
+        [[-16.0, -16.0, -16.0], [0.0, 0.0, -16.0],
+         [-16.0, 0.0, 0.0], [0.0, 0.0, 0.0]], axis=0
+    ).astype(np.float32)
+    pair_idx, pair_w = select_pairs_geometric(
+        scene.Ps, origins, 2, hw, extent_mm=D * s
+    )
+    images = jnp.asarray(scene.images, jnp.float32)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    args = (
+        images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
+        jnp.asarray(pair_w),
+    )
+    kw = dict(
+        D=D, s=s, n_pairs=2, tau=0.3, gamma=0.6, adaptive=False,
+        center_colors=True, predict=photoconsistency_predictor,
+        n_pool_views=3,
+    )
+    occ_x, fused_x, _ = cube_batch_step(
+        *args, ray_pool_mode="affine", **kw
+    )
+    occ_p, fused_p, _ = cube_batch_step(
+        *args, use_pallas=True, ray_pool_mode="affine_pallas",
+        pallas_interpret=True, crop_hw=(96, 128), **kw
+    )
+    fused_x, fused_p = np.asarray(fused_x), np.asarray(fused_p)
+    occ_x, occ_p = np.asarray(occ_x), np.asarray(occ_p)
+    # bf16 crop streaming shifts probabilities slightly; bound the drift
+    assert np.abs(fused_x - fused_p).max() < 0.05
+    assert (occ_x == occ_p).mean() > 0.995
