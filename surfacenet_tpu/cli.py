@@ -364,8 +364,38 @@ def cmd_reconstruct_all(args):
             "cubes": stats.n_cubes_after_prefilter,
             "seconds": round(dt, 2),
         }
-        print(f"{name}: {n} points, {stats.n_cubes_after_prefilter} cubes, "
-              f"{dt:.1f}s -> {out_ply}")
+        line = (f"{name}: {n} points, "
+                f"{stats.n_cubes_after_prefilter} cubes, {dt:.1f}s")
+        if getattr(args, "gt_dir", None):
+            gt_ply = os.path.join(args.gt_dir, f"{name}.ply")
+            if os.path.exists(gt_ply) and n:
+                from surfacenet_tpu.utils.metrics import (
+                    accuracy_completeness,
+                )
+                from surfacenet_tpu.utils.ply import read_ply
+
+                pts, _, _ = store.merge()
+                gt, _ = read_ply(gt_ply)
+                # same 20mm DTU-protocol truncation as `cli eval`
+                acc, comp = accuracy_completeness(pts, gt, max_dist=20.0)
+                report[name].update(
+                    acc_mm=round(float(acc), 4),
+                    comp_mm=round(float(comp), 4),
+                    overall_mm=round(float(acc + comp) / 2, 4),
+                )
+                line += (f", acc {acc:.3f}mm comp {comp:.3f}mm")
+            else:
+                print(f"{name}: no GT at {gt_ply}; skipping metrics")
+        print(f"{line} -> {out_ply}")
+    # split-level means over scans that have metrics (the DTU protocol's
+    # per-split mean acc/comp table)
+    scored = [r for r in report.values() if "acc_mm" in r]
+    if scored:
+        report["_mean"] = {
+            k: round(sum(r[k] for r in scored) / len(scored), 4)
+            for k in ("acc_mm", "comp_mm", "overall_mm")
+        }
+        print(f"split mean: {report['_mean']}")
     with open(os.path.join(args.out_dir, "report.json"), "w") as f:
         _json.dump(report, f, indent=2)
 
@@ -459,6 +489,9 @@ def main(argv=None):
     pa.add_argument("--root", help="directory containing scan*/ dirs")
     pa.add_argument("--scans", nargs="*", help="explicit scan dirs")
     pa.add_argument("--out-dir", default="results")
+    pa.add_argument("--gt-dir",
+                    help="directory of <scanname>.ply GT clouds; when given, "
+                         "per-scan acc/comp + split means go into report.json")
     pa.add_argument("--checkpoint")
     pa.add_argument("--downsample", type=int, default=1)
     pa.add_argument("--preset")
