@@ -98,6 +98,40 @@ def test_reconstruct_all_cli(tmp_path, small_scene):
         assert rep[name]["points"] > 0
 
 
+def test_reconstruct_all_cli_gt_metrics(tmp_path, small_scene):
+    """--gt-dir adds per-scan acc/comp and split means to report.json."""
+    import json
+    import os
+
+    from surfacenet_tpu.data.dtu import write_scan
+    from surfacenet_tpu.utils.ply import write_ply
+
+    write_scan(
+        str(tmp_path / "scan1"), small_scene.images, small_scene.Ps,
+        small_scene.bbox_min, small_scene.bbox_max,
+    )
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    write_ply(str(gt_dir / "scan1.ply"), small_scene.surface_points(2000))
+    out_dir = str(tmp_path / "out")
+    main(
+        [
+            "reconstruct-all", "--scans", str(tmp_path / "scan1"),
+            "--out-dir", out_dir, "--gt-dir", str(gt_dir),
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    rep = json.load(open(os.path.join(out_dir, "report.json")))
+    assert 0 < rep["scan1"]["acc_mm"] <= 20.0
+    assert 0 < rep["scan1"]["comp_mm"] <= 20.0
+    assert rep["_mean"]["overall_mm"] == rep["scan1"]["overall_mm"]
+
+
 def test_train_cli_with_scan_and_gt(tmp_path, small_scene):
     from surfacenet_tpu.data.dtu import write_scan
     from surfacenet_tpu.utils.ply import write_ply
