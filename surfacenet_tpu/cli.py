@@ -354,6 +354,9 @@ def cmd_reconstruct_all(args):
         store, stats = run_sweep(
             scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
             predictor,
+            pair_selector=_make_pair_selector(
+                getattr(args, "pairnet", None), cfg, scan
+            ),
             ledger_path=os.path.join(args.out_dir, f"{name}.ledger.jsonl"),
         )
         out_ply = os.path.join(args.out_dir, f"{name}.ply")
@@ -493,6 +496,9 @@ def main(argv=None):
                     help="directory of <scanname>.ply GT clouds; when given, "
                          "per-scan acc/comp + split means go into report.json")
     pa.add_argument("--checkpoint")
+    pa.add_argument("--pairnet",
+                    help="trained pairnet checkpoint dir -> learned pair "
+                         "weights (default: geometric selector)")
     pa.add_argument("--downsample", type=int, default=1)
     pa.add_argument("--preset")
     pa.add_argument("--config")
