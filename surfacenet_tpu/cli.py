@@ -342,6 +342,22 @@ def cmd_reconstruct_all(args):
 
     predictor = _load_predictor(args.checkpoint, cfg)
 
+    sharded = getattr(args, "sharded", False) or cfg.mesh.block_axis > 1
+    if sharded:
+        from surfacenet_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
+        import jax
+
+        n_dev = len(jax.devices())
+        n_block = max(cfg.mesh.block_axis, 1)
+        if n_dev < 2 or n_dev % n_block != 0:
+            print(
+                f"sharded sweep needs block_axis={n_block} to divide the "
+                f"{n_dev} available device(s); running unsharded instead"
+            )
+            sharded = False
+
     report = {}
     for sd in scan_dirs:
         name = os.path.basename(os.path.normpath(sd))
@@ -351,14 +367,27 @@ def cmd_reconstruct_all(args):
                 scan.Ps
             )
         t0 = time.perf_counter()
-        store, stats = run_sweep(
-            scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
-            predictor,
-            pair_selector=_make_pair_selector(
-                getattr(args, "pairnet", None), cfg, scan
-            ),
-            ledger_path=os.path.join(args.out_dir, f"{name}.ledger.jsonl"),
+        pair_selector = _make_pair_selector(
+            getattr(args, "pairnet", None), cfg, scan
         )
+        if sharded:
+            from surfacenet_tpu.parallel.sweep_sharded import (
+                run_sweep_sharded,
+            )
+
+            store, stats = run_sweep_sharded(
+                scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+                predictor, pair_selector=pair_selector,
+                ledger_dir=os.path.join(args.out_dir, f"{name}.ledgers"),
+            )
+        else:
+            store, stats = run_sweep(
+                scan.images, scan.Ps, scan.bbox_min, scan.bbox_max, cfg,
+                predictor, pair_selector=pair_selector,
+                ledger_path=os.path.join(
+                    args.out_dir, f"{name}.ledger.jsonl"
+                ),
+            )
         out_ply = os.path.join(args.out_dir, f"{name}.ply")
         n = store.export_ply(out_ply)
         dt = time.perf_counter() - t0
@@ -499,6 +528,9 @@ def main(argv=None):
     pa.add_argument("--pairnet",
                     help="trained pairnet checkpoint dir -> learned pair "
                          "weights (default: geometric selector)")
+    pa.add_argument("--sharded", action="store_true",
+                    help="mesh-sharded sweeps (auto when mesh.block_axis>1); "
+                         "per-scan ledgers become directories")
     pa.add_argument("--downsample", type=int, default=1)
     pa.add_argument("--preset")
     pa.add_argument("--config")
