@@ -277,3 +277,26 @@ def test_train_surfacenet_mesh_driver_validates():
                    train=TrainConfig(batch_size=8, scan_chunk=0)),
             n_steps=2, mesh=mesh,
         )
+
+
+def test_train_surfacenet_mesh_multi_scene(small_scene):
+    """mesh + multi-scene union pool: dp training over stacked views."""
+    import numpy as np
+
+    from surfacenet_tpu.config import Config, ModelConfig, TrainConfig, VoxelConfig
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.parallel.mesh import make_mesh
+    from surfacenet_tpu.train.train_surface import train_surfacenet
+
+    scene2 = make_sphere_scene(n_views=4, hw=(90, 120), radius=22.0, seed=5)
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=8, lr=1e-2, n_steps=4, seed=0,
+                          scan_chunk=2),
+    )
+    state, log = train_surfacenet(
+        [small_scene, scene2], cfg, log_every=1, mesh=make_mesh()
+    )
+    assert len(log.losses) == 4
+    assert np.all(np.isfinite(log.losses))
