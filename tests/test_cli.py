@@ -274,3 +274,43 @@ def test_reconstruct_all_cli_sampleset(tmp_path, small_scene):
     rep = json.load(open(os.path.join(out_dir, "report.json")))
     assert rep["scan6"]["points"] > 0
     assert os.path.exists(os.path.join(out_dir, "scan6.ply"))
+
+
+def test_reconstruct_cli_colmap(tmp_path, small_scene):
+    """reconstruct --colmap drives a COLMAP sparse model end-to-end."""
+    import numpy as np
+
+    from surfacenet_tpu.data.colmap import write_colmap_model
+    from tests.test_colmap import _decompose_P
+
+    model_dir = str(tmp_path / "sparse")
+    Ks, Rs, ts = [], [], []
+    for P in small_scene.Ps:
+        K, R, t = _decompose_P(P)
+        Ks.append(K)
+        Rs.append(R)
+        ts.append(t)
+    write_colmap_model(
+        model_dir, small_scene.images, np.stack(Ks), np.stack(Rs),
+        np.stack(ts), points3d=small_scene.surface_points(200),
+        image_dir=str(tmp_path / "images"),
+    )
+    out = str(tmp_path / "out.ply")
+    main(
+        [
+            "reconstruct", "--scan", model_dir, "--colmap", "--out", out,
+            "--set", "voxel.cube_size=16",
+            "--set", "voxel.voxel_size_mm=2.0",
+            "--set", "voxel.overlap=4",
+            "--set", "fusion.n_view_pairs=2",
+            "--set", "fusion.tau=0.25",
+            "--set", "sweep.cube_batch=8",
+        ]
+    )
+    import os
+
+    from surfacenet_tpu.utils.ply import read_ply
+
+    assert os.path.exists(out)
+    pts, _ = read_ply(out)
+    assert len(pts) > 50
