@@ -190,7 +190,11 @@ def cmd_reconstruct(args):
             predictor, pair_selector=pair_selector,
             ledger_path=args.ledger, metrics=metrics,
         )
-    n = store.export_ply(args.out)
+    min_comp = (
+        args.min_component if args.min_component is not None
+        else cfg.fusion.min_component
+    )
+    n = store.export_ply(args.out, min_component=min_comp)
     print(
         f"wrote {n} points to {args.out}; "
         f"{stats.n_cubes_nonempty}/{stats.n_cubes_after_prefilter} cubes "
@@ -389,7 +393,11 @@ def cmd_reconstruct_all(args):
                 ),
             )
         out_ply = os.path.join(args.out_dir, f"{name}.ply")
-        n = store.export_ply(out_ply)
+        min_comp = (
+            args.min_component if args.min_component is not None
+            else cfg.fusion.min_component
+        )
+        n = store.export_ply(out_ply, min_component=min_comp)
         dt = time.perf_counter() - t0
         report[name] = {
             "points": n,
@@ -406,7 +414,7 @@ def cmd_reconstruct_all(args):
                 )
                 from surfacenet_tpu.utils.ply import read_ply
 
-                pts, _, _ = store.merge()
+                pts, _, _ = store.merge(min_component=min_comp)
                 gt, _ = read_ply(gt_ply)
                 # same 20mm DTU-protocol truncation as `cli eval`
                 acc, comp = accuracy_completeness(pts, gt, max_dist=20.0)
@@ -474,6 +482,9 @@ def main(argv=None):
     pr.add_argument("--metrics-out",
                     help="append a JSONL record of sweep counters/gauges "
                          "(cubes, occupancy, truncation re-fetches) here")
+    pr.add_argument("--min-component", type=int, default=None,
+                    help="denoise: drop merged-voxel clusters smaller than "
+                         "this (default: fusion.min_component from config)")
     pr.add_argument("--downsample", type=int, default=1)
     pr.add_argument("--preset")
     pr.add_argument("--config")
@@ -531,6 +542,9 @@ def main(argv=None):
     pa.add_argument("--sharded", action="store_true",
                     help="mesh-sharded sweeps (auto when mesh.block_axis>1); "
                          "per-scan ledgers become directories")
+    pa.add_argument("--min-component", type=int, default=None,
+                    help="denoise: drop merged-voxel clusters smaller than "
+                         "this (default: fusion.min_component from config)")
     pa.add_argument("--downsample", type=int, default=1)
     pa.add_argument("--preset")
     pa.add_argument("--config")

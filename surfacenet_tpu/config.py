@@ -131,6 +131,10 @@ class FusionConfig:
     # artifacts); > 0 = windowed max, combined with core claiming so cube
     # boundaries do not distort thinning (SURVEY.md SS7 hard part).
     pool_window_vox: int = -1
+    # Post-merge denoising (SURVEY.md C8, the reference denoising.py analog):
+    # drop 26-connected components of merged voxels smaller than this many
+    # voxels (floating specks from a single bad view pair). 0 = off.
+    min_component: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_merge.so")
-_SRC = os.path.join(_DIR, "merge.cpp")
+_SRCS = [os.path.join(_DIR, "merge.cpp"), os.path.join(_DIR, "denoise.cpp")]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -27,7 +27,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", _SO, _SRC,
+                "-o", _SO, *_SRCS,
             ],
             check=True,
             capture_output=True,
@@ -38,15 +38,21 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    return any(
+        os.path.exists(s) and os.path.getmtime(s) > so_mtime for s in _SRCS
+    )
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-    ):
+    if _stale():
         if not _build():
             return None
     try:
@@ -73,6 +79,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.sn_pack_keys.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.sn_components.restype = ctypes.c_int64
+    lib.sn_components.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return lib
@@ -126,3 +137,22 @@ def native_merge(
         _ptr(out_colors, ctypes.c_float),
     )
     return out_coords[:kept], out_probs[:kept], out_colors[:kept]
+
+
+def native_components(coords: np.ndarray):
+    """26-connected components of (N, 3) int voxel coords via the C++
+    union-find; returns (labels, sizes) int64 arrays (labels compact in
+    [0, n_components), sizes per-record component size), or None when the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, np.int64)
+    n = len(coords)
+    labels = np.empty(n, np.int64)
+    sizes = np.empty(n, np.int64)
+    lib.sn_components(
+        _ptr(coords, ctypes.c_int64), n,
+        _ptr(labels, ctypes.c_int64), _ptr(sizes, ctypes.c_int64),
+    )
+    return labels, sizes

@@ -141,14 +141,21 @@ class SparseCubeStore:
     # ------------------------------------------------------------- merge
 
     def merge(
-        self, occupancy_vote: Optional[float] = None
+        self,
+        occupancy_vote: Optional[float] = None,
+        min_component: int = 0,
+        keep_top_components: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Merge all cubes into deduplicated global voxels.
 
         Overlap rule: every cube containing a global voxel contributes its
         (occupancy, prob); the voxel survives if the occupied fraction among
         contributors is >= occupancy_vote.  Probabilities and colors are
-        averaged.
+        averaged.  When ``min_component`` > 1 (or ``keep_top_components``
+        is set), merged voxels are additionally denoised: 26-connected
+        components smaller than ``min_component`` voxels — floating specks
+        from a single bad view pair — are dropped (SURVEY.md C8, the
+        reference ``denoising.py`` analog; see ops/denoise.py).
 
         Returns:
           points: (N, 3) world-space voxel centers (mm).
@@ -207,6 +214,8 @@ class SparseCubeStore:
         )
         if res is not None:
             ucoords, probs, colors = res
+            m = self._denoise_mask(ucoords, min_component, keep_top_components)
+            ucoords, probs, colors = ucoords[m], probs[m], colors[m]
             pts = self.scene_origin + self.s * (ucoords + 0.5)
             return (
                 pts.astype(np.float32), probs, np.clip(colors, 0.0, 1.0)
@@ -241,10 +250,22 @@ class SparseCubeStore:
         i = u // (dims[2] * dims[1])
         ucoords = np.stack([i, j, k], axis=-1) + cmin
 
-        pts = self.scene_origin + self.s * (ucoords[keep] + 0.5)
+        kcoords = ucoords[keep]
         probs = prob_sum[keep] / votes[keep]
         colors = color_sum[keep] / votes[keep][:, None]
-        return pts.astype(np.float32), probs, np.clip(colors, 0.0, 1.0)
+        m = self._denoise_mask(kcoords, min_component, keep_top_components)
+        pts = self.scene_origin + self.s * (kcoords[m] + 0.5)
+        return pts.astype(np.float32), probs[m], np.clip(colors[m], 0.0, 1.0)
+
+    @staticmethod
+    def _denoise_mask(
+        coords: np.ndarray, min_component: int, keep_top: Optional[int]
+    ) -> np.ndarray:
+        if min_component <= 1 and keep_top is None:
+            return np.ones(len(coords), bool)
+        from surfacenet_tpu.ops.denoise import component_filter_mask
+
+        return component_filter_mask(coords, min_component, keep_top)
 
     def _containment_counts(self, coords: np.ndarray) -> np.ndarray:
         """For each global voxel coord, count processed cubes containing it."""
@@ -273,8 +294,14 @@ class SparseCubeStore:
     # ------------------------------------------------------------- export
 
     def export_ply(
-        self, path: str, occupancy_vote: Optional[float] = None
+        self,
+        path: str,
+        occupancy_vote: Optional[float] = None,
+        min_component: int = 0,
+        keep_top_components: Optional[int] = None,
     ) -> int:
-        pts, probs, colors = self.merge(occupancy_vote)
+        pts, probs, colors = self.merge(
+            occupancy_vote, min_component, keep_top_components
+        )
         write_ply(path, pts, colors)
         return len(pts)
