@@ -194,7 +194,10 @@ def cmd_reconstruct(args):
         args.min_component if args.min_component is not None
         else cfg.fusion.min_component
     )
-    n = store.export_ply(args.out, min_component=min_comp)
+    n = store.export_ply(
+        args.out, min_component=min_comp,
+        keep_top_components=args.keep_top_components,
+    )
     print(
         f"wrote {n} points to {args.out}; "
         f"{stats.n_cubes_nonempty}/{stats.n_cubes_after_prefilter} cubes "
@@ -485,6 +488,8 @@ def main(argv=None):
     pr.add_argument("--min-component", type=int, default=None,
                     help="denoise: drop merged-voxel clusters smaller than "
                          "this (default: fusion.min_component from config)")
+    pr.add_argument("--keep-top-components", type=int, default=None,
+                    help="denoise: keep only the N largest clusters")
     pr.add_argument("--downsample", type=int, default=1)
     pr.add_argument("--preset")
     pr.add_argument("--config")
