@@ -177,10 +177,15 @@ def _compute_windows(
     return jnp.stack([v0, u0], axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("D", "s", "CH", "CW", "PC", "interpret", "in_dtype"),
-)
+# Per-call item cap: Mosaic pads every scalar-prefetch operand to one
+# 512 B sublane row per item in SMEM, so 3 operands cost ~1.5 KB/item
+# against the 1 MB SMEM budget — 960 items fails to compile (OOM at
+# 1.41 M) and 640 already degrades throughput (289 vs 444 cubes/s,
+# measured on v5e).  320 items is the measured throughput sweet spot
+# (480 KB of SMEM); larger batches are split transparently.
+GATHER_ITEM_CHUNK = 320
+
+
 def warp_gather_pallas(
     images: jnp.ndarray,  # (V, H, W, 3) f32
     Ps: jnp.ndarray,  # (V, 3, 4) f32
@@ -207,7 +212,49 @@ def warp_gather_pallas(
     native rate; max color error vs the f32 oracle is ~1% of full scale
     (the sources are 8-bit images).  Pass ``jnp.float32`` for oracle-exact
     sampling.
+
+    Batches larger than ``GATHER_ITEM_CHUNK`` items are dispatched as
+    multiple kernel calls to stay inside the SMEM scalar-prefetch budget
+    (see the constant's comment); results are identical.
     """
+    B = view_idx.shape[0]
+    if B <= GATHER_ITEM_CHUNK:
+        return _warp_gather_chunk(
+            images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
+            interpret=interpret, in_dtype=in_dtype,
+        )
+    cs, vs = [], []
+    for b0 in range(0, B, GATHER_ITEM_CHUNK):
+        c, v = _warp_gather_chunk(
+            images, Ps,
+            view_idx[b0 : b0 + GATHER_ITEM_CHUNK],
+            origins[b0 : b0 + GATHER_ITEM_CHUNK],
+            D=D, s=s, CH=CH, CW=CW, PC=PC,
+            interpret=interpret, in_dtype=in_dtype,
+        )
+        cs.append(c)
+        vs.append(v)
+    return jnp.concatenate(cs, axis=0), jnp.concatenate(vs, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("D", "s", "CH", "CW", "PC", "interpret", "in_dtype"),
+)
+def _warp_gather_chunk(
+    images: jnp.ndarray,  # (V, H, W, 3) f32
+    Ps: jnp.ndarray,  # (V, 3, 4) f32
+    view_idx: jnp.ndarray,  # (B,) int32
+    origins: jnp.ndarray,  # (B, 3) f32
+    *,
+    D: int,
+    s: float,
+    CH: int,
+    CW: int,
+    PC: int,
+    interpret: bool,
+    in_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     V, H, W, _ = images.shape
     images_planar = jnp.moveaxis(images, -1, 1)  # (V, 3, H, W)
     B = view_idx.shape[0]

@@ -272,11 +272,14 @@ def run_sweep_sharded(
 
     # double-buffered: host-side harvest of round k overlaps the device
     # compute of round k+1 (same pattern as pipeline/sweep.py).
-    pending = next_round()
-    while pending is not None:
-        nxt = next_round()
-        harvest(*pending)
-        pending = nxt
+    from surfacenet_tpu.utils.observability import trace
+
+    with trace("run_sweep_sharded"):
+        pending = next_round()
+        while pending is not None:
+            nxt = next_round()
+            harvest(*pending)
+            pending = nxt
 
     stats.wall_s = time.perf_counter() - t0
     stats.cubes_per_s = (

@@ -673,16 +673,21 @@ def run_sweep(
     import collections
     import time as _time
 
+    from surfacenet_tpu.utils.observability import trace
+
     DEPTH = 3
     t0 = _time.perf_counter()
     starts = list(range(0, n + n_pad, B))
     pending = collections.deque()
-    for b0 in starts:
-        pending.append((b0, dispatch(b0)))
-        if len(pending) > DEPTH:
+    # profiler hook: JAX_PROFILER_DIR=<dir> captures a Perfetto/XProf trace
+    # of the pipelined sweep (no-op otherwise).
+    with trace("run_sweep"):
+        for b0 in starts:
+            pending.append((b0, dispatch(b0)))
+            if len(pending) > DEPTH:
+                harvest(*pending.popleft())
+        while pending:
             harvest(*pending.popleft())
-    while pending:
-        harvest(*pending.popleft())
     if metrics is not None:
         wall = _time.perf_counter() - t0
         metrics.gauge("sweep_wall_s", wall)

@@ -266,3 +266,29 @@ def test_cube_batch_step_tpu_native_path_interpret(scene):
     # bf16 crop streaming shifts probabilities slightly; bound the drift
     assert np.abs(fused_x - fused_p).max() < 0.05
     assert (occ_x == occ_p).mean() > 0.995
+
+
+def test_warp_gather_item_chunking(scene, monkeypatch):
+    """Batches beyond GATHER_ITEM_CHUNK split into multiple kernel calls
+    (SMEM scalar-prefetch budget); results must equal the single-call path."""
+    import surfacenet_tpu.ops.pallas.warp_gather as wg
+
+    D, s = 8, 4.0
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    rng = np.random.default_rng(3)
+    B = 11
+    origins = jnp.asarray(
+        rng.uniform(-16.0, 0.0, (B, 3)).astype(np.float32)
+    )
+    views = jnp.asarray(rng.integers(0, 4, B).astype(np.int32))
+    kw = dict(D=D, s=s, CH=96, CW=128, PC=128, interpret=True,
+              in_dtype=jnp.float32)
+
+    ref_c, ref_v = warp_gather_pallas(images, Ps, views, origins, **kw)
+    monkeypatch.setattr(wg, "GATHER_ITEM_CHUNK", 4)  # 11 -> 4+4+3 calls
+    got_c, got_v = wg.warp_gather_pallas(images, Ps, views, origins, **kw)
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+    np.testing.assert_allclose(
+        np.asarray(ref_c), np.asarray(got_c), atol=1e-6
+    )
