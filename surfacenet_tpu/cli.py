@@ -427,8 +427,10 @@ def cmd_reconstruct_all(args):
                     overall_mm=round(float(acc + comp) / 2, 4),
                 )
                 line += (f", acc {acc:.3f}mm comp {comp:.3f}mm")
-            else:
+            elif not os.path.exists(gt_ply):
                 print(f"{name}: no GT at {gt_ply}; skipping metrics")
+            else:
+                print(f"{name}: empty prediction; skipping metrics")
         print(f"{line} -> {out_ply}")
     # split-level means over scans that have metrics (the DTU protocol's
     # per-split mean acc/comp table)
