@@ -57,17 +57,11 @@ def _load_config(args):
     return _apply_overrides(cfg, getattr(args, "set", None))
 
 
-def _load_predictor(checkpoint, cfg):
-    """Predictor from a checkpoint path: accepts both params-only inference
-    weights (e.g. the shipped ``weights/``) and full training-state
-    checkpoint dirs; falls back to the photoconsistency oracle when None."""
-    from surfacenet_tpu.pipeline.sweep import photoconsistency_predictor
-
-    if not checkpoint:
-        print("no checkpoint: using photoconsistency predictor")
-        return photoconsistency_predictor
-
-    from surfacenet_tpu.models.surfacenet import SurfaceNet, make_predictor
+def _load_model_variables(checkpoint, cfg):
+    """(model, variables) from a checkpoint path: accepts both params-only
+    inference weights (e.g. the shipped ``weights/``) and full
+    training-state checkpoint dirs."""
+    from surfacenet_tpu.models.surfacenet import SurfaceNet
     from surfacenet_tpu.train.train_surface import (
         load_pretrained, restore_checkpoint,
     )
@@ -85,7 +79,21 @@ def _load_predictor(checkpoint, cfg):
             "batch_stats": state.batch_stats,
         }
         print(f"using checkpoint step {step}")
+    return model, variables
 
+
+def _load_predictor(checkpoint, cfg):
+    """Predictor from a checkpoint path; falls back to the
+    photoconsistency oracle when None."""
+    from surfacenet_tpu.pipeline.sweep import photoconsistency_predictor
+
+    if not checkpoint:
+        print("no checkpoint: using photoconsistency predictor")
+        return photoconsistency_predictor
+
+    from surfacenet_tpu.models.surfacenet import make_predictor
+
+    model, variables = _load_model_variables(checkpoint, cfg)
     return make_predictor(model, variables, cfg.model)
 
 
@@ -460,6 +468,54 @@ def cmd_eval(args):
     )
 
 
+def cmd_export(args):
+    """Serialize the trained forward for serving (jax.export / StableHLO).
+
+    The artifact bakes the checkpoint's params in as constants and has a
+    fixed ``(batch, D, D, D, 6) -> (batch, D, D, D)`` signature; a serving
+    process loads it with ``jax.export.deserialize(path.read_bytes())``
+    and calls ``.call(x)`` — no model definitions or flax needed.  Export
+    cross-platform with ``--platforms tpu,cpu`` (the reference shipped
+    Lasagne .pkl weights usable only inside Theano; this is the TPU-native
+    deployment analog, SURVEY.md C13).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    cfg = _load_config(args)
+    if not args.checkpoint:
+        raise SystemExit("export needs --checkpoint")
+    from surfacenet_tpu.models.surfacenet import make_predictor
+
+    model, variables = _load_model_variables(args.checkpoint, cfg)
+    predict = make_predictor(model, variables, cfg.model)
+    fn = jax.jit(lambda x: predict(x, None))
+    D = cfg.voxel.cube_size
+    spec = jax.ShapeDtypeStruct(
+        (args.batch, D, D, D, cfg.model.in_channels), jnp.float32
+    )
+    platforms = args.platforms.split(",") if args.platforms else None
+    exp = jexport.export(fn, platforms=platforms)(spec)
+    data = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(
+        f"exported forward {spec.shape} -> {args.out} "
+        f"({len(data) / 1e6:.1f} MB, platforms="
+        f"{platforms or [jax.default_backend()]})"
+    )
+    if args.selfcheck:
+        rt = jexport.deserialize(bytearray(data))
+        x = jax.random.uniform(jax.random.PRNGKey(0), spec.shape) - 0.5
+        got = np.asarray(rt.call(x))
+        want = np.asarray(fn(x))
+        err = float(np.abs(got - want).max())
+        print(f"selfcheck: max |deserialized - direct| = {err:.2e}")
+        if err > 1e-5:
+            raise SystemExit("selfcheck FAILED")
+
+
 def cmd_bench(args):
     import bench
 
@@ -571,6 +627,23 @@ def main(argv=None):
     pe.add_argument("--max-dist", type=float, default=20.0,
                     help="distance truncation (DTU protocol), mm")
     pe.set_defaults(fn=cmd_eval)
+
+    px = sub.add_parser(
+        "export", help="serialize the trained forward for serving"
+    )
+    px.add_argument("--checkpoint", required=True)
+    px.add_argument("--out", default="surfacenet_fwd.stablehlo")
+    px.add_argument("--batch", type=int, default=160,
+                    help="items (cube x view-pair) per serving call")
+    px.add_argument("--platforms",
+                    help="comma list of target platforms (tpu,cpu,cuda); "
+                         "default: current backend")
+    px.add_argument("--selfcheck", action="store_true",
+                    help="deserialize and compare against the direct apply")
+    px.add_argument("--preset")
+    px.add_argument("--config")
+    px.add_argument("--set", action="append")
+    px.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
