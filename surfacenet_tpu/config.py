@@ -141,7 +141,11 @@ class FusionConfig:
 class SweepConfig:
     """Scene sweep / batched cube scheduler (SURVEY.md C9)."""
 
-    cube_batch: int = 16  # cubes per device per step (static shape)
+    # Cubes per device per step (static shape).  32 is the measured v5e
+    # throughput optimum at D=32 x 5 pairs (444 cubes/s; 64 drops to ~285:
+    # the gather auto-chunks at 320 items for SMEM, and pooling/compaction
+    # scale superlinearly past it).  Larger values compile and run.
+    cube_batch: int = 16
     prefilter: bool = True  # frustum/content prefilter before batching
     min_views_visible: int = 2  # cube must fall inside >= this many frusta
     # Pallas warp-gather kernel for CVC construction (TPU only; the XLA
