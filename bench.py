@@ -109,9 +109,14 @@ def main():
         ray_pool_mode=cfg.fusion.ray_pool_mode,
         crop_hw=crop_hw,
     )
+    # production parity: run_sweep passes the deduped gather table
+    from surfacenet_tpu.ops.view_pairs import dedup_view_slots
+
+    uniq_views, slot_idx = dedup_view_slots(pair_idx)
     args = (
         images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
-        jnp.asarray(pair_w),
+        jnp.asarray(pair_w), None,
+        jnp.asarray(uniq_views), jnp.asarray(slot_idx),
     )
 
     # warmup + compile, then PIPELINED timing: dispatch all iterations
@@ -187,9 +192,11 @@ def main():
                 gather_tile_d(D64),
                 cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
             )
+        uniq64, slot64 = dedup_view_slots(pair_idx64)
         args64 = (
             images, Ps, jnp.asarray(origins64), jnp.asarray(pair_idx64),
-            jnp.asarray(pair_w64),
+            jnp.asarray(pair_w64), None,
+            jnp.asarray(uniq64), jnp.asarray(slot64),
         )
         out = cube_batch_step(*args64, **kw64)
         float(jnp.sum(out[1]))

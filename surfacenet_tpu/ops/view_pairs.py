@@ -105,6 +105,50 @@ def select_pairs_geometric(
     return np.asarray(sel), np.asarray(w)
 
 
+def dedup_view_slots(
+    pair_idx: np.ndarray, k: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-cube unique-view table + per-pair-half slot indices.
+
+    The Nv selected pairs of a cube draw from far fewer distinct views
+    than the 2*Nv pair halves (neighboring views dominate the top-Nv
+    angle scores; measured ~6 unique of 10 halves at Nv=5).  The warp
+    gather's cost is per (cube, view) item, so gathering each distinct
+    view ONCE and indexing pairs into the result removes ~30-40% of the
+    gather compute — redundancy elimination, not an approximation.
+
+    Args:
+      pair_idx: (N, P, 2) int view indices per cube pair.
+      k: static table width; defaults to the batch max unique count.
+        Must be >= every cube's unique count (pass a scene-level value
+        when slicing per-round batches so shapes stay compile-stable).
+
+    Returns:
+      (uniq (N, K) int32 — ascending unique views, -1 padded at the end;
+       slots (N, P, 2) int32 with uniq[n, slots[n,p,h]] == pair_idx[n,p,h]).
+    """
+    pi = np.asarray(pair_idx)
+    N = pi.shape[0]
+    flat = pi.reshape(N, -1).astype(np.int64)
+    order = np.argsort(flat, axis=1, kind="stable")
+    sf = np.take_along_axis(flat, order, axis=1)
+    new = np.ones_like(sf, bool)
+    new[:, 1:] = sf[:, 1:] != sf[:, :-1]
+    rank = np.cumsum(new, axis=1) - 1  # slot of each sorted element
+    n_uniq = rank[:, -1] + 1
+    kk = int(n_uniq.max()) if k is None else int(k)
+    if (n_uniq > kk).any():
+        raise ValueError(
+            f"dedup_view_slots: k={kk} < max unique views {n_uniq.max()}"
+        )
+    uniq = np.full((N, kk), -1, np.int32)
+    rows = np.repeat(np.arange(N), flat.shape[1])
+    uniq[rows, rank.reshape(-1)] = sf.reshape(-1).astype(np.int32)
+    slots = np.empty_like(flat, dtype=np.int32)
+    np.put_along_axis(slots, order, rank.astype(np.int32), axis=1)
+    return uniq, slots.reshape(pi.shape).astype(np.int32)
+
+
 def view_similarity_from_scene(
     images: np.ndarray,
     Ps: np.ndarray,

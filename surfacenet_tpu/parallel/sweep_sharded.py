@@ -83,7 +83,10 @@ def run_sweep_sharded(
     metrics=None,
 ) -> Tuple[SparseCubeStore, ShardedSweepStats]:
     """Sharded sweep over the mesh; returns a merged store + scaling stats."""
-    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.ops.view_pairs import (
+        dedup_view_slots,
+        select_pairs_geometric,
+    )
     from surfacenet_tpu.pipeline.sweep import resolve_backend_config
 
     cfg = resolve_backend_config(cfg)
@@ -160,6 +163,11 @@ def run_sweep_sharded(
     cursors = [0] * n_block
     per_block_round = cfg.sweep.cube_batch * n_cube
 
+    # gather-dedup table width: must be compile-stable across rounds (pair
+    # selection is per-round here).  Start from the first round's max and
+    # widen (one recompile) only if a later round needs more slots.
+    ku_state = [0]
+
     t0 = time.perf_counter()
     n_processed = 0
 
@@ -193,6 +201,13 @@ def run_sweep_sharded(
         r_grid = grid[flat]
         r_origins = origins[flat].astype(np.float32)
         pair_idx, pair_w = pair_selector(Ps, r_origins)
+        uniq_views, slot_idx = dedup_view_slots(pair_idx)
+        if uniq_views.shape[1] > ku_state[0]:
+            ku_state[0] = uniq_views.shape[1]
+        if uniq_views.shape[1] < ku_state[0]:
+            uniq_views, slot_idx = dedup_view_slots(
+                pair_idx, k=ku_state[0]
+            )
         core_bounds = (
             core_bounds_for(
                 r_grid, lattice_max, D, cfg.voxel.overlap, present=grid
@@ -213,6 +228,8 @@ def run_sweep_sharded(
                 else jax.device_put(
                     jnp.asarray(core_bounds, jnp.int32), shard
                 ),
+                jax.device_put(jnp.asarray(uniq_views, jnp.int32), shard),
+                jax.device_put(jnp.asarray(slot_idx, jnp.int32), shard),
                 D=D,
                 s=s,
                 n_pairs=cfg.fusion.n_view_pairs,

@@ -233,6 +233,8 @@ def cube_batch_step(
     pair_idx: jnp.ndarray,  # (Nc, Npairs, 2) int32
     pair_w: jnp.ndarray,  # (Nc, Npairs) float32
     core_bounds: jnp.ndarray | None = None,  # (Nc, 3, 2) int32 claim region
+    uniq_views: jnp.ndarray | None = None,  # (Nc, Ku) int32, -1 padded
+    slot_idx: jnp.ndarray | None = None,  # (Nc, Npairs, 2) int32 into Ku
     *,
     D: int,
     s: float,
@@ -284,33 +286,67 @@ def cube_batch_step(
     flat_pairs = pair_idx.reshape(NB, 2)
     flat_origins = jnp.repeat(origins, n_pairs, axis=0)
 
-    # one gather for all (cube, pair, view-half) items: [a-halves, b-halves]
-    all_views = flat_pairs.T.reshape(-1)  # (2*NB,)
-    all_origins = jnp.concatenate([flat_origins, flat_origins], axis=0)
-    if use_pallas:
-        colors, valids = warp_gather_tiled(
-            images, Ps, all_views.astype(jnp.int32), all_origins, D=D, s=s,
-            CH=crop_hw[0], CW=crop_hw[1], interpret=pallas_interpret,
-        )
-    else:
-        colors, valids = build_cvc_views(
-            images, Ps, all_views, all_origins, D, s
-        )
-    ca, cb = colors[:NB], colors[NB:]
-    va, vb = valids[:NB], valids[NB:]
+    def _gather(views, view_origins):
+        if use_pallas:
+            return warp_gather_tiled(
+                images, Ps, views.astype(jnp.int32), view_origins, D=D, s=s,
+                CH=crop_hw[0], CW=crop_hw[1], interpret=pallas_interpret,
+            )
+        return build_cvc_views(images, Ps, views, view_origins, D, s)
 
-    if center_colors:
-        xa = center_cvc(ca, va)
-        xb = center_cvc(cb, vb)
+    if uniq_views is not None:
+        # Deduplicated gather: one item per (cube, DISTINCT view) — the Nv
+        # pairs of a cube reuse far fewer views than 2*Nv halves
+        # (ops/view_pairs.dedup_view_slots), and gather cost is per item.
+        # Padded slots (-1) gather the cube's first view; harmless dupes.
+        Ku = uniq_views.shape[1]
+        uv = jnp.where(
+            uniq_views >= 0, uniq_views,
+            jnp.maximum(uniq_views[:, :1], 0),
+        )
+        colors_u, valids_u = _gather(
+            uv.reshape(-1), jnp.repeat(origins, Ku, axis=0)
+        )
+        if center_colors:
+            xs_u = center_cvc(colors_u, valids_u)
+        else:
+            xs_u = jnp.where(valids_u[..., None], colors_u, 0.0)
+        colors_u = colors_u.reshape(Nc, Ku, D, D, D, 3)
+        valids_u = valids_u.reshape(Nc, Ku, D, D, D)
+        xs_u = xs_u.reshape(Nc, Ku, D, D, D, 3)
+        sa, sb = slot_idx[..., 0], slot_idx[..., 1]  # (Nc, n_pairs)
+
+        def _take(arr, sl):  # index the Ku axis by per-pair slots
+            # vmap'd take keeps the gather indices at (Nc, n_pairs) —
+            # take_along_axis would broadcast them to the full output
+            # shape (hundreds of MB at 64^3, and it remats poorly).
+            return jax.vmap(lambda a, si: jnp.take(a, si, axis=0))(arr, sl)
+
+        xa = _take(xs_u, sa)
+        xb = _take(xs_u, sb)
+        x = jnp.concatenate([xa, xb], axis=-1).reshape(NB, D, D, D, 6)
+        va_p = _take(valids_u, sa)
+        vb_p = _take(valids_u, sb)
+        valid = va_p & vb_p  # (Nc, n_pairs, D, D, D)
     else:
-        xa = jnp.where(va[..., None], ca, 0.0)
-        xb = jnp.where(vb[..., None], cb, 0.0)
-    x = jnp.concatenate([xa, xb], axis=-1)  # (NB, D,D,D, 6)
-    valid = va & vb
+        # one gather per (cube, pair, view-half): [a-halves, b-halves]
+        all_views = flat_pairs.T.reshape(-1)  # (2*NB,)
+        all_origins = jnp.concatenate([flat_origins, flat_origins], axis=0)
+        colors, valids = _gather(all_views, all_origins)
+        ca, cb = colors[:NB], colors[NB:]
+        va, vb = valids[:NB], valids[NB:]
+
+        if center_colors:
+            xa = center_cvc(ca, va)
+            xb = center_cvc(cb, vb)
+        else:
+            xa = jnp.where(va[..., None], ca, 0.0)
+            xb = jnp.where(vb[..., None], cb, 0.0)
+        x = jnp.concatenate([xa, xb], axis=-1)  # (NB, D,D,D, 6)
+        valid = (va & vb).reshape(Nc, n_pairs, D, D, D)
 
     probs = predict(x, flat_origins)  # (NB, D, D, D)
     probs = probs.reshape(Nc, n_pairs, D, D, D)
-    valid = valid.reshape(Nc, n_pairs, D, D, D)
 
     fused = jax.vmap(fuse_pairs)(probs, pair_w, valid)  # (Nc, D,D,D)
 
@@ -327,11 +363,22 @@ def cube_batch_step(
     # out of the vote and out of the gamma denominator, so "gamma fraction
     # of views" counts each distinct view exactly once even when a cube has
     # fewer than K unique views (low n_view_pairs configs).
-    pv_all = pair_idx.reshape(Nc, n_pairs * 2)
     K = min(n_pool_views, n_pairs * 2)
-    pool_views_raw = jax.vmap(
-        lambda pv: jnp.unique(pv, size=K, fill_value=-1)
-    )(pv_all)
+    if uniq_views is not None:
+        # uniq_views is already the ascending -1-padded unique table —
+        # its first K columns equal jnp.unique(pv, size=K, fill_value=-1).
+        Ku = uniq_views.shape[1]
+        if Ku >= K:
+            pool_views_raw = uniq_views[:, :K]
+        else:
+            pool_views_raw = jnp.pad(
+                uniq_views, ((0, 0), (0, K - Ku)), constant_values=-1
+            )
+    else:
+        pv_all = pair_idx.reshape(Nc, n_pairs * 2)
+        pool_views_raw = jax.vmap(
+            lambda pv: jnp.unique(pv, size=K, fill_value=-1)
+        )(pv_all)
     view_mask = pool_views_raw >= 0  # (Nc, K)
     pool_views = jnp.maximum(pool_views_raw, 0)
     n_uniq = jnp.sum(view_mask, axis=1)  # (Nc,) true pooling-view count
@@ -391,21 +438,36 @@ def cube_batch_step(
 
     # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
-    ca_b = ca.reshape(Nc, n_pairs, D, D, D, 3)
-    cb_b = cb.reshape(Nc, n_pairs, D, D, D, 3)
-    va_b = va.reshape(Nc, n_pairs, D, D, D)
-    vb_b = vb.reshape(Nc, n_pairs, D, D, D)
+    if uniq_views is not None:
+        # index the best pair's two view slots out of the unique table
+        def _take_best(arr, sl):  # (Nc, Ku, ...) x (Nc,) -> (Nc, ...)
+            return jax.vmap(lambda a, si: a[si])(arr, sl)
 
-    def _color_one(cab, cbb, vab, vbb, b):
-        c1 = cab[b]
-        c2 = cbb[b]
-        w1 = vab[b].astype(jnp.float32)
-        w2 = vbb[b].astype(jnp.float32)
-        return (c1 * w1[..., None] + c2 * w2[..., None]) / jnp.maximum(
-            w1 + w2, 1.0
-        )[..., None]
+        sa_best = jnp.take_along_axis(sa, best[:, None], axis=1)[:, 0]
+        sb_best = jnp.take_along_axis(sb, best[:, None], axis=1)[:, 0]
+        c1 = _take_best(colors_u, sa_best)
+        c2 = _take_best(colors_u, sb_best)
+        w1 = _take_best(valids_u, sa_best).astype(jnp.float32)
+        w2 = _take_best(valids_u, sb_best).astype(jnp.float32)
+        color = (
+            c1 * w1[..., None] + c2 * w2[..., None]
+        ) / jnp.maximum(w1 + w2, 1.0)[..., None]
+    else:
+        ca_b = ca.reshape(Nc, n_pairs, D, D, D, 3)
+        cb_b = cb.reshape(Nc, n_pairs, D, D, D, 3)
+        va_b = va.reshape(Nc, n_pairs, D, D, D)
+        vb_b = vb.reshape(Nc, n_pairs, D, D, D)
 
-    color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
+        def _color_one(cab, cbb, vab, vbb, b):
+            c1 = cab[b]
+            c2 = cbb[b]
+            w1 = vab[b].astype(jnp.float32)
+            w2 = vbb[b].astype(jnp.float32)
+            return (c1 * w1[..., None] + c2 * w2[..., None]) / jnp.maximum(
+                w1 + w2, 1.0
+            )[..., None]
+
+        color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
     if compact_output:
         # Device-side SPARSE compaction: thinned surfaces occupy ~0.3-5% of
         # a cube, and the device->host link is the sweep bottleneck on
@@ -568,6 +630,11 @@ def run_sweep(
     pair_idx, pair_w = pair_selector(Ps, origins)
     pair_idx = np.asarray(pair_idx)
     pair_w = np.asarray(pair_w)
+    # gather dedup: one warp-gather item per (cube, distinct view) —
+    # ~30-40% fewer items than the 2*Nv pair halves (see dedup_view_slots)
+    from surfacenet_tpu.ops.view_pairs import dedup_view_slots
+
+    uniq_views, slot_idx = dedup_view_slots(pair_idx)
 
     images_d = jnp.asarray(images, jnp.float32)
     Ps_d = jnp.asarray(Ps, jnp.float32)
@@ -599,6 +666,10 @@ def run_sweep(
         origins = np.concatenate([origins, origins[:1].repeat(n_pad, 0)])
         pair_idx = np.concatenate([pair_idx, pair_idx[:1].repeat(n_pad, 0)])
         pair_w = np.concatenate([pair_w, pair_w[:1].repeat(n_pad, 0)])
+        uniq_views = np.concatenate(
+            [uniq_views, uniq_views[:1].repeat(n_pad, 0)]
+        )
+        slot_idx = np.concatenate([slot_idx, slot_idx[:1].repeat(n_pad, 0)])
         if core_bounds is not None:
             core_bounds = np.concatenate(
                 [core_bounds, core_bounds[:1].repeat(n_pad, 0)]
@@ -615,6 +686,8 @@ def run_sweep(
             None
             if core_bounds is None
             else jnp.asarray(core_bounds[b0 : b0 + B], jnp.int32),
+            jnp.asarray(uniq_views[b0 : b0 + B], jnp.int32),
+            jnp.asarray(slot_idx[b0 : b0 + B], jnp.int32),
             D=D,
             s=s,
             n_pairs=cfg.fusion.n_view_pairs,

@@ -71,3 +71,95 @@ def test_learned_selection_modulates_weights(sphere_scene):
         sphere_scene.Ps, origins, 3, hw, 32.0, np.zeros((V, V), np.float32)
     )
     assert w_0[0, 1:].max() <= 1e-6
+
+
+def test_dedup_view_slots_roundtrip():
+    from surfacenet_tpu.ops.view_pairs import dedup_view_slots
+
+    rng = np.random.default_rng(0)
+    pair_idx = rng.integers(0, 8, size=(32, 5, 2)).astype(np.int32)
+    uniq, slots = dedup_view_slots(pair_idx)
+    # slot indexing reproduces the original pair views exactly
+    rows = np.arange(32)[:, None, None]
+    assert (uniq[rows, slots] == pair_idx).all()
+    # uniq rows: ascending uniques, -1 padded at the end
+    for r in uniq:
+        live = r[r >= 0]
+        assert (np.diff(live) > 0).all()
+        assert len(live) == len(np.unique(live))
+        assert (r[len(live):] == -1).all()
+    # first K columns match jnp.unique(pv, size=K, fill_value=-1)
+    import jax.numpy as jnp
+
+    K = 6
+    for i in range(8):
+        ref = np.asarray(
+            jnp.unique(jnp.asarray(pair_idx[i].reshape(-1)), size=K,
+                       fill_value=-1)
+        )
+        got = uniq[i, :K] if uniq.shape[1] >= K else np.pad(
+            uniq[i], (0, K - uniq.shape[1]), constant_values=-1
+        )
+        assert (got == ref).all()
+    # fixed-k widening keeps the table valid
+    uniq2, slots2 = dedup_view_slots(pair_idx, k=uniq.shape[1] + 3)
+    assert (uniq2[:, : uniq.shape[1]] == uniq).all()
+    assert (uniq2[rows, slots2] == pair_idx).all()
+
+
+def test_cube_batch_step_dedup_parity(sphere_scene):
+    """Deduped gather path == per-pair-half gather path, bit-exactly."""
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
+    from surfacenet_tpu.ops.view_pairs import (
+        dedup_view_slots, select_pairs_geometric,
+    )
+    from surfacenet_tpu.pipeline.sweep import (
+        cube_batch_step, photoconsistency_predictor,
+    )
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        fusion=FusionConfig(n_view_pairs=3, tau=0.25, gamma=0.6),
+    )
+    D, s = cfg.voxel.cube_size, cfg.voxel.voxel_size_mm
+    scene = sphere_scene
+    pts = scene.surface_points(6, seed=3)
+    origins = (pts - D * s / 2).astype(np.float32)
+    pair_idx, pair_w = select_pairs_geometric(
+        scene.Ps, origins, cfg.fusion.n_view_pairs,
+        scene.images.shape[1:3], extent_mm=cfg.voxel.cube_extent_mm,
+    )
+    uniq, slots = dedup_view_slots(pair_idx)
+    assert uniq.shape[1] < 2 * cfg.fusion.n_view_pairs  # dedup does dedup
+
+    kw = dict(
+        D=D, s=s, n_pairs=cfg.fusion.n_view_pairs, tau=cfg.fusion.tau,
+        gamma=cfg.fusion.gamma, adaptive=False, center_colors=True,
+        predict=photoconsistency_predictor, use_pallas=False,
+        n_pool_views=cfg.fusion.n_pool_views,
+        ray_pool_mode="exact", pool_window=1,
+    )
+    args = (
+        jnp.asarray(scene.images, jnp.float32),
+        jnp.asarray(scene.Ps, jnp.float32),
+        jnp.asarray(origins, jnp.float32),
+        jnp.asarray(pair_idx, jnp.int32),
+        jnp.asarray(pair_w, jnp.float32),
+        None,
+    )
+    occ0, fused0, color0 = cube_batch_step(*args, **kw)
+    occ1, fused1, color1 = cube_batch_step(
+        *args, jnp.asarray(uniq, jnp.int32), jnp.asarray(slots, jnp.int32),
+        **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    # same math, different op order (take_along_axis vs slice) -> XLA may
+    # fuse/reassociate differently; tolerance is a few f32 ulps.
+    np.testing.assert_allclose(
+        np.asarray(fused0), np.asarray(fused1), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(color0), np.asarray(color1), atol=5e-6
+    )
