@@ -26,7 +26,7 @@ NEG = -1e30
 
 
 def _affine_pool_kernel(
-    slopes_ref,  # (N, 2) f32 scalar prefetch: (sl0, sl1) per item
+    slopes_ref,  # (N, 3) f32 scalar prefetch: (sl0, sl1, active) per item
     vol_ref,  # (1, D, D, D) f32 VMEM: dominant (depth) axis FIRST of the
     #           three spatial dims — dynamic slab indexing must hit an
     #           untiled leading axis, never the (8,128)-tiled trailing two
@@ -39,6 +39,11 @@ def _affine_pool_kernel(
     item = pl.program_id(0)
     sl0 = slopes_ref[item, 0]
     sl1 = slopes_ref[item, 1]
+    # the wrapper runs all 3 axis permutations and selects per item; the
+    # active flag skips the ~4D VPU rotates for the two discarded perms
+    # (their output block is left unwritten — garbage, but dropped by the
+    # wrapper's select), cutting pool VPU work ~3x.
+    active = slopes_ref[item, 2] > 0.0
 
     def offs(t):
         tf = (t - D // 2).astype(jnp.float32)
@@ -70,61 +75,66 @@ def _affine_pool_kernel(
         # stack, then per-slab max over +-window neighbors before the
         # unshear-and-compare.  Costs one extra (D, D, D) VMEM scratch and
         # D*(2*window+1) elementwise maxes — still VPU-trivial.
-        def store(t, _):
-            oi, oj = offs(t)
-            sheared_ref[t] = shifted(vol_ref[0, t], oi, oj)
-            return 0
+        @pl.when(active)
+        def _windowed():
+            def store(t, _):
+                oi, oj = offs(t)
+                sheared_ref[t] = shifted(vol_ref[0, t], oi, oj)
+                return 0
 
-        jax.lax.fori_loop(0, D, store, 0)
+            jax.lax.fori_loop(0, D, store, 0)
 
-        def back_w(t, _):
-            def wmax(k, M):
-                tt = t - window + k
-                ok = (tt >= 0) & (tt < D)
-                v = sheared_ref[jnp.clip(tt, 0, D - 1)]
-                return jnp.maximum(
-                    M, jnp.where(ok, v, jnp.float32(NEG))
+            def back_w(t, _):
+                def wmax(k, M):
+                    tt = t - window + k
+                    ok = (tt >= 0) & (tt < D)
+                    v = sheared_ref[jnp.clip(tt, 0, D - 1)]
+                    return jnp.maximum(
+                        M, jnp.where(ok, v, jnp.float32(NEG))
+                    )
+
+                W = jax.lax.fori_loop(
+                    0, 2 * window + 1, wmax,
+                    jnp.full((D, D), NEG, jnp.float32),
                 )
+                oi, oj = offs(t)
+                rm = shifted(W, -oi, -oj)
+                mask_ref[0, t] = (
+                    vol_ref[0, t] >= rm - 1e-6
+                ).astype(jnp.float32)
+                return 0
 
-            W = jax.lax.fori_loop(
-                0, 2 * window + 1, wmax,
-                jnp.full((D, D), NEG, jnp.float32),
-            )
+            jax.lax.fori_loop(0, D, back_w, 0)
+
+        return
+
+    @pl.when(active)
+    def _segment():
+        # pass 1: M[p, q] = max_t shifted slab t
+        def acc(t, M):
             oi, oj = offs(t)
-            rm = shifted(W, -oi, -oj)
+            return jnp.maximum(M, shifted(vol_ref[0, t], oi, oj))
+
+        M = jax.lax.fori_loop(
+            0, D, acc, jnp.full((D, D), NEG, jnp.float32)
+        )
+
+        # pass 2: ray_max for slab t = M shifted back; mask = vol >= max
+        def back(t, _):
+            oi, oj = offs(t)
+            rm = shifted(M, -oi, -oj)
             mask_ref[0, t] = (
                 vol_ref[0, t] >= rm - 1e-6
             ).astype(jnp.float32)
             return 0
 
-        jax.lax.fori_loop(0, D, back_w, 0)
-        return
-
-    # pass 1: M[p, q] = max_t shifted slab t
-    def acc(t, M):
-        oi, oj = offs(t)
-        return jnp.maximum(M, shifted(vol_ref[0, t], oi, oj))
-
-    M = jax.lax.fori_loop(
-        0, D, acc, jnp.full((D, D), NEG, jnp.float32)
-    )
-
-    # pass 2: ray_max for slab t = M shifted back; mask = vol >= ray_max
-    def back(t, _):
-        oi, oj = offs(t)
-        rm = shifted(M, -oi, -oj)
-        mask_ref[0, t] = (
-            vol_ref[0, t] >= rm - 1e-6
-        ).astype(jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, D, back, 0)
+        jax.lax.fori_loop(0, D, back, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "window", "interpret"))
 def _pool_one_axis(
     vols: jnp.ndarray,  # (N, D, D, D) pre-transposed, dominant axis last
-    slopes: jnp.ndarray,  # (N, 2)
+    slopes: jnp.ndarray,  # (N, 3): (sl0, sl1, active)
     *,
     D: int,
     window: int = 0,
@@ -200,6 +210,11 @@ def ray_max_mask_affine_pallas(
         # items not on this axis would have |slope| > 1: clamp (their
         # results are discarded by the select below).
         slopes = jnp.clip(slopes, -1.0, 1.0)
+        # active flag: the kernel skips the rotate loops for items whose
+        # dominant axis is a different perm (output discarded below).
+        slopes = jnp.concatenate(
+            [slopes, (axis == a).astype(jnp.float32)[:, None]], axis=-1
+        )
         m = _pool_one_axis(
             vols, slopes, D=D, window=window, interpret=interpret
         )

@@ -50,10 +50,13 @@ def _warp_kernel(
     # inputs (pipelined per grid step)
     crop_ref,  # (1, 3, CH, CW) f32 VMEM: this item's image crop
     # outputs
-    cvc_ref,  # (1, 24, PC) f32 VMEM block: channel c in rows [8c, 8c+8)
-    #           (row 8c used; 8-row slots keep stores sublane-tile aligned —
-    #           single-row stores at odd sublane offsets mis-lower on TPU)
-    valid_ref,  # (1, 8, PC) f32 VMEM block (row 0 used)
+    out_ref,  # (1, 8, PC) f32 VMEM block: rows 0-2 = RGB, row 3 = valid,
+    #           rows 4-7 = padding.  One full-tile store per chunk (earlier
+    #           versions used 8-row slots per channel because single-row
+    #           stores at odd sublane offsets mis-lower on TPU; packing
+    #           RGB+valid into ONE aligned (8, PC) store cuts the kernel's
+    #           HBM output traffic 4x — it was the gather's actual
+    #           bottleneck, not the interpolation matmul)
     *,
     D: int,
     s: float,
@@ -129,6 +132,7 @@ def _warp_kernel(
         # with f32 accumulation.
         dt = crop_ref.dtype
         hatVc = hatV.astype(dt)
+        rows = []
         for c in range(3):
             plane = crop_ref[0, c]  # (CH, CW)
             T = jax.lax.dot_general(
@@ -138,10 +142,11 @@ def _warp_kernel(
                 preferred_element_type=jnp.float32,
             )  # (CW, PC)
             val = jnp.sum(T * hatW, axis=0, keepdims=True)  # (1, PC)
-            cvc_ref[0, pl.ds(c * 8, 8), :] = jnp.broadcast_to(
-                val * ok, (8, PC)
-            )
-        valid_ref[0, :, :] = jnp.broadcast_to(ok, (8, PC))
+            rows.append(val * ok)
+        rows.append(ok)
+        out_ref[0] = jnp.concatenate(
+            rows + [jnp.zeros((4, PC), jnp.float32)], axis=0
+        )  # (8, PC)
 
 
 def _compute_windows(
@@ -289,7 +294,6 @@ def _warp_gather_chunk(
             pl.BlockSpec((1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 24, PC), lambda i, c, *_: (i, 0, c)),
             pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
         ],
     )
@@ -297,11 +301,10 @@ def _warp_gather_chunk(
     kernel = functools.partial(
         _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
     )
-    cvc, valid = pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 24, D3), jnp.float32),
             jax.ShapeDtypeStruct((B, 8, D3), jnp.float32),
         ],
         interpret=interpret,
@@ -312,8 +315,8 @@ def _warp_gather_chunk(
         crops,
     )
 
-    colors = jnp.moveaxis(cvc[:, ::8, :], 1, -1).reshape(B, D, D, D, 3)
-    validb = (valid[:, 0, :] > 0.5).reshape(B, D, D, D)
+    colors = jnp.moveaxis(out[:, :3, :], 1, -1).reshape(B, D, D, D, 3)
+    validb = (out[:, 3, :] > 0.5).reshape(B, D, D, D)
     return colors, validb
 
 
@@ -348,12 +351,21 @@ def warp_gather_tiled(
     PC: int = 1024,
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
+    tile_d: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``warp_gather_pallas`` with sub-cube tiling for large D (see
     ``gather_tile_d``).  One kernel program (at the tile size) is traced
     once and dispatched per octant, keeping the scalar-prefetch SMEM
-    footprint per call at the small-batch level."""
-    td = gather_tile_d(D)
+    footprint per call at the small-batch level.
+
+    tile_d > 0 overrides the default tile choice: finer tiles shrink the
+    crop footprint (the kernel's per-point matmul cost is CH*CW), at the
+    price of (D/tile_d)^3 kernel dispatches — ``pick_gather_tile`` chooses
+    per scene.  CH/CW must be sized for the tile (auto_crop_hw at tile_d).
+    """
+    td = tile_d if tile_d > 0 else gather_tile_d(D)
+    if D % td:
+        raise ValueError(f"tile_d={td} must divide D={D}")
     if td == D:
         return warp_gather_pallas(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,

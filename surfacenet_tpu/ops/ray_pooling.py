@@ -246,6 +246,92 @@ def ray_max_mask_affine(
     )
 
 
+def ray_max_mask_affine_matmul(
+    probs: jnp.ndarray,  # (N, D, D, D) per-item probability volumes
+    origins: jnp.ndarray,  # (N, 3)
+    s: float,
+    Ps: jnp.ndarray,  # (N, 3, 4) per-item pooling view
+    window: int = 0,
+) -> jnp.ndarray:
+    """Batched affine ray-max mask via one-hot SHIFT MATMULS (MXU form).
+
+    Same semantics as vmap(ray_max_mask_affine) and the Pallas rotate
+    kernel (ops/pallas/affine_pool.py) — a third implementation of the
+    sheared-slab ray max, shaped for the MXU: the per-slab integer shift
+    ``sh[t, i, j] = vol[t, i-oi_t, j-oj_t]`` is a batched contraction with
+    one-hot selection matrices ``Arow[t, i, r] = [r == i-oi_t]`` (and the
+    unshear is the adjoint contraction with the same matrices).  That
+    replaces the rotate kernel's ~4*D serial VPU rotates per item with 4
+    batched (D, D)@(D, D) matmuls per slab — measured ~4x faster at the
+    sweep's operating point, because the rotates are latency-bound on the
+    sequential Pallas grid while the MXU is idle during pooling anyway.
+
+    Out-of-range shear targets are masked to NEG before the max; the
+    adjoint's out-of-range unshear rows produce ray_max 0, which marks the
+    voxel ray-max exactly like the rotate kernel's NEG fill does (probs
+    are >= 0): a ray that exits the comparison volume keeps its voxel.
+    """
+    D = probs.shape[1]
+    N = probs.shape[0]
+    centers = origins.astype(jnp.float32) + 0.5 * D * s
+    A = jax.vmap(_projection_jacobian)(Ps, centers)  # (N, 2, 3)
+    n = jnp.cross(A[:, 0], A[:, 1])  # (N, 3) ray direction
+    axis = jnp.argmax(jnp.abs(n), axis=-1)  # (N,)
+
+    ts = (jnp.arange(D) - D // 2).astype(jnp.float32)  # (D,)
+    ii = jnp.arange(D)
+    f32 = jnp.float32
+
+    perms = [(1, 2, 0), (0, 2, 1), (0, 1, 2)]  # (o1, o2, dominant)
+    masks = []
+    for a, perm in enumerate(perms):
+        # layout: dominant (slab) axis FIRST, then (o1, o2)
+        order = (perm[2], perm[0], perm[1])
+        vols = jnp.transpose(probs, (0,) + tuple(p + 1 for p in order))
+        na = n[:, perm[2]]
+        safe = jnp.where(jnp.abs(na) < 1e-12, 1e-12, na)
+        sl0 = jnp.clip(n[:, perm[0]] / safe, -1.0, 1.0)  # (N,)
+        sl1 = jnp.clip(n[:, perm[1]] / safe, -1.0, 1.0)
+        oi = jnp.round(sl0[:, None] * ts).astype(jnp.int32)  # (N, D)
+        oj = jnp.round(sl1[:, None] * ts).astype(jnp.int32)
+
+        # one-hot shift matrices + in-range masks
+        src_i = ii[None, None, :, None] - oi[:, :, None, None]  # (N,D,D,1)
+        Arow = (src_i == ii[None, None, None, :]).astype(f32)  # (N,D,D,D)
+        src_j = ii[None, None, :, None] - oj[:, :, None, None]
+        Acol = (src_j == ii[None, None, None, :]).astype(f32)
+        vr = (src_i[..., 0] >= 0) & (src_i[..., 0] < D)  # (N, D, D) rows
+        vc = (src_j[..., 0] >= 0) & (src_j[..., 0] < D)  # (N, D, D) cols
+
+        # shear: sh[t,i,j] = vols[t, i-oi_t, j-oj_t]
+        sh = jnp.einsum("ntir,ntrj->ntij", Arow, vols.astype(f32))
+        sh = jnp.einsum("ntjc,ntic->ntij", Acol, sh)
+        valid = vr[:, :, :, None] & vc[:, :, None, :]
+        sh = jnp.where(valid, sh, NEG)
+
+        if window > 0:
+            pad = jnp.pad(
+                sh, ((0, 0), (window, window), (0, 0), (0, 0)),
+                constant_values=NEG,
+            )
+            M = sh
+            for k in range(2 * window + 1):
+                M = jnp.maximum(M, pad[:, k : k + D])
+        else:
+            M = jnp.broadcast_to(jnp.max(sh, axis=1, keepdims=True), sh.shape)
+
+        # unshear (adjoint): rm[t,r,c] = M[t, r+oi_t, c+oj_t]
+        rm = jnp.einsum("ntjc,ntij->ntic", Acol, M)
+        rm = jnp.einsum("ntir,ntic->ntrc", Arow, rm)
+        is_max = vols >= rm - 1e-6
+
+        inv = tuple(int(i) + 1 for i in np.argsort(order))
+        masks.append(jnp.transpose(is_max, (0,) + inv))
+
+    ax = axis[:, None, None, None]
+    return jnp.where(ax == 0, masks[0], jnp.where(ax == 1, masks[1], masks[2]))
+
+
 def ray_pool(
     prob: jnp.ndarray,
     origin: jnp.ndarray,

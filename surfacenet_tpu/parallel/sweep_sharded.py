@@ -258,20 +258,24 @@ def run_sweep_sharded(
         from surfacenet_tpu.pipeline.sweep import unpack_compact
 
         counts = np.asarray(out[1])
+        rec_np = np.asarray(out[0])
         # only valid slots count: padding duplicates a real cube, whose
         # (possibly truncated) result is harvested from its own slot.
         valid = np.zeros(len(counts), bool)
         for b in range(n_block):
             valid[b * per_block_round : b * per_block_round + valid_counts[b]] = True
-        if (counts[valid] > compact_K).any():
-            n_over = int((counts[valid] > compact_K).sum())
+        # exactness check (see run_sweep.harvest): catches compact_k
+        # truncation AND approx_max_k recall misses.
+        got = (rec_np[:, :, 3] > 0).sum(axis=1)
+        if (got[valid] < counts[valid]).any():
+            n_over = int((got[valid] < counts[valid]).sum())
             print(
-                f"sharded sweep: {n_over} cube(s) exceed "
-                f"compact_k={compact_K}; re-fetching round dense"
+                f"sharded sweep: {n_over} cube(s) short of their occupied "
+                f"count (compact_k={compact_K}); re-fetching round dense"
             )
             occ, fused, color = (np.asarray(x) for x in launch(False))
         else:
-            occ, fused, color = unpack_compact(np.asarray(out[0]), counts, D)
+            occ, fused, color = unpack_compact(rec_np, counts, D)
         stats.n_batches += 1
         stats.n_rounds += 1
         for b in range(n_block):
