@@ -360,8 +360,10 @@ def warp_gather_tiled(
 
     tile_d > 0 overrides the default tile choice: finer tiles shrink the
     crop footprint (the kernel's per-point matmul cost is CH*CW), at the
-    price of (D/tile_d)^3 kernel dispatches — ``pick_gather_tile`` chooses
-    per scene.  CH/CW must be sized for the tile (auto_crop_hw at tile_d).
+    price of (D/tile_d)^3 kernel dispatches.  No automatic per-scene
+    chooser exists: callers and benches (scripts/gather_tile_bench.py)
+    pick tile_d manually; the pipeline uses the ``gather_tile_d`` default.
+    CH/CW must be sized for the tile (auto_crop_hw at tile_d).
     """
     td = tile_d if tile_d > 0 else gather_tile_d(D)
     if D % td:

@@ -270,6 +270,17 @@ def ray_max_mask_affine_matmul(
     adjoint's out-of-range unshear rows produce ray_max 0, which marks the
     voxel ray-max exactly like the rotate kernel's NEG fill does (probs
     are >= 0): a ray that exits the comparison volume keeps its voxel.
+
+    Precision: the contractions run at Precision.HIGHEST.  At the TPU
+    default the f32 probability operand is truncated to bf16 through the
+    MXU, and near-tie ray maxima flip the mask on ~3% (window=0) to ~14%
+    (window=1) of voxels vs the oracle; HIGHEST restores exact agreement
+    (the selection matrices are exact 0/1, so the contraction is then a
+    lossless permutation).  Re-measured on v5e at HIGHEST (see the
+    affine_matmul row in scripts/pool_mode_bench.py): the MXU form no
+    longer beats the Pallas rotate kernel at the sweep's operating point,
+    so it ships as the experimental ray_pool_mode="affine_matmul" rather
+    than the default.
     """
     D = probs.shape[1]
     N = probs.shape[0]
@@ -303,9 +314,11 @@ def ray_max_mask_affine_matmul(
         vr = (src_i[..., 0] >= 0) & (src_i[..., 0] < D)  # (N, D, D) rows
         vc = (src_j[..., 0] >= 0) & (src_j[..., 0] < D)  # (N, D, D) cols
 
+        hi = jax.lax.Precision.HIGHEST
         # shear: sh[t,i,j] = vols[t, i-oi_t, j-oj_t]
-        sh = jnp.einsum("ntir,ntrj->ntij", Arow, vols.astype(f32))
-        sh = jnp.einsum("ntjc,ntic->ntij", Acol, sh)
+        sh = jnp.einsum("ntir,ntrj->ntij", Arow, vols.astype(f32),
+                        precision=hi)
+        sh = jnp.einsum("ntjc,ntic->ntij", Acol, sh, precision=hi)
         valid = vr[:, :, :, None] & vc[:, :, None, :]
         sh = jnp.where(valid, sh, NEG)
 
@@ -321,8 +334,8 @@ def ray_max_mask_affine_matmul(
             M = jnp.broadcast_to(jnp.max(sh, axis=1, keepdims=True), sh.shape)
 
         # unshear (adjoint): rm[t,r,c] = M[t, r+oi_t, c+oj_t]
-        rm = jnp.einsum("ntjc,ntij->ntic", Acol, M)
-        rm = jnp.einsum("ntir,ntic->ntrc", Arow, rm)
+        rm = jnp.einsum("ntjc,ntij->ntic", Acol, M, precision=hi)
+        rm = jnp.einsum("ntir,ntic->ntrc", Arow, rm, precision=hi)
         is_max = vols >= rm - 1e-6
 
         inv = tuple(int(i) + 1 for i in np.argsort(order))

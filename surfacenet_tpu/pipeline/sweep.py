@@ -405,6 +405,26 @@ def cube_batch_step(
             jnp.ceil(gamma * n_uniq).astype(jnp.int32), 1
         )[:, None, None, None]
         occ = (votes >= need) & (fused > taus[:, None, None, None])
+    elif ray_pool_mode == "affine_matmul":
+        # experimental MXU form of the affine shear (one-hot shift matmuls
+        # at Precision.HIGHEST); semantics match affine/affine_pallas.
+        from surfacenet_tpu.ops.ray_pooling import ray_max_mask_affine_matmul
+
+        flat_probs = jnp.repeat(fused, K, axis=0)
+        flat_pool_origins = jnp.repeat(origins, K, axis=0)
+        flat_Ps = Ps[pool_views.reshape(-1)]
+        masks = ray_max_mask_affine_matmul(
+            flat_probs, flat_pool_origins, s, flat_Ps, window=pool_window,
+        ).reshape(Nc, K, D, D, D)
+        votes = jnp.sum(
+            masks.astype(jnp.int32)
+            * view_mask[:, :, None, None, None].astype(jnp.int32),
+            axis=1,
+        )
+        need = jnp.maximum(
+            jnp.ceil(gamma * n_uniq).astype(jnp.int32), 1
+        )[:, None, None, None]
+        occ = (votes >= need) & (fused > taus[:, None, None, None])
     else:
 
         def _pool_one(fp, o, pv, t, vm):
