@@ -79,6 +79,12 @@ def _load_model_variables(checkpoint, cfg):
             "batch_stats": state.batch_stats,
         }
         print(f"using checkpoint step {step}")
+    # host copies: the predictor closes over these, and numpy consts are
+    # safe to bake into jitted programs on any mesh — including N-process
+    # meshes, where captured single-device jax.Arrays would be rejected.
+    import jax
+
+    variables = jax.tree_util.tree_map(np.asarray, variables)
     return model, variables
 
 
@@ -213,6 +219,16 @@ def cmd_reconstruct(args):
             predictor, pair_selector=pair_selector,
             ledger_path=args.ledger, metrics=metrics,
         )
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # non-zero processes hold only their own blocks; process 0 merged
+        # every block ledger and owns the export.
+        print(
+            f"process {jax.process_index()}: swept "
+            f"{len(store)} local cube(s); export is on process 0"
+        )
+        return
     min_comp = (
         args.min_component if args.min_component is not None
         else cfg.fusion.min_component

@@ -15,10 +15,22 @@ on a global batch sharded over both mesh axes; the host then scatters
 results into per-block sparse stores.  Per-round scaling metrics
 (cubes/s, per-block occupancy) feed the BASELINE scaling-efficiency report.
 
-Multi-host: call jax.distributed.initialize() before building the mesh; the
-same code path then runs with each process feeding its addressable shards
-(jax.make_array_from_process_local_data).  Single-process multi-device
-(including the CPU-emulated 8-device test mesh) uses device_put directly.
+Multi-process: call jax.distributed.initialize() (or
+parallel.distributed.init_distributed) before building the mesh.  Every
+process runs the identical deterministic host loop (enumerate, prefilter,
+partition, pair selection), so all processes hold the same global batch
+bytes; global device arrays are then assembled shard-by-addressable-shard
+(parallel.mesh.global_put), each round's results are harvested only for
+the blocks whose mesh row lives on this process (parallel.mesh.fetch_rows),
+and each process appends only its own blocks' ledgers.  The shared
+filesystem (the TPU-pod norm: NFS/GCS) is the cross-process result channel:
+after a device barrier, process 0 rehydrates every block ledger into the
+merged store — export/report is gated on process 0 (ledger_dir is therefore
+REQUIRED when process_count > 1, and block_axis must be a multiple of the
+process count so block rows are host-local).  Single-process multi-device
+(including the CPU-emulated 8-device test mesh) follows the same code path
+with global_put degenerating to device_put.  Tested with a real 2-process
+CPU cluster in tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -33,7 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenet_tpu.config import Config
-from surfacenet_tpu.parallel.mesh import cube_sharded, make_mesh, replicated
+from surfacenet_tpu.parallel.mesh import (
+    cube_sharded, fetch_rows, global_put, make_mesh, replicated,
+)
 from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
 from surfacenet_tpu.pipeline.sweep import (
     Predictor,
@@ -98,6 +112,32 @@ def run_sweep_sharded(
     n_block, n_cube = mesh.devices.shape
     per_round = cfg.sweep.cube_batch * n_block * n_cube
 
+    pi, pc = jax.process_index(), jax.process_count()
+    if pc > 1:
+        if ledger_dir is None:
+            raise ValueError(
+                "multi-process sweeps need ledger_dir (a shared directory: "
+                "the per-block ledgers are the cross-process result channel)"
+            )
+        if n_block % pc:
+            raise ValueError(
+                f"block_axis={n_block} must be a multiple of the "
+                f"{pc}-process cluster so block rows are host-local"
+            )
+    # blocks whose mesh row lives on this process: their batch rows are
+    # addressable here, so this process harvests and stores them.
+    mine = [
+        b for b in range(n_block)
+        if all(d.process_index == pi for d in mesh.devices[b].flat)
+    ]
+    if pc > 1 and len(mine) != n_block // pc:
+        raise ValueError(
+            f"mesh rows are not process-aligned (process {pi} owns rows "
+            f"{mine}); build the mesh with parallel.mesh.make_mesh"
+        )
+    if metrics is not None and pi != 0:
+        metrics = None  # one metrics writer per job
+
     stats = ShardedSweepStats()
     D = cfg.voxel.cube_size
     s = cfg.voxel.voxel_size_mm
@@ -119,7 +159,14 @@ def run_sweep_sharded(
     stats.per_block_cubes = [len(b) for b in blocks]
 
     # per-block stores share one scene frame; block ledgers are separate
-    # files so each (future) host owns its slice of restart state.
+    # files so each host owns its slice of restart state.  All processes
+    # must read the SAME done-sets (the round schedule is derived from
+    # them and must be identical everywhere), so barrier before reading —
+    # no process may still be appending from a previous incarnation.
+    if pc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("surfacenet_sweep_start")
     stores = []
     todo_blocks = []
     for b, idxs in enumerate(blocks):
@@ -143,10 +190,8 @@ def run_sweep_sharded(
             image_hw=hw, extent_mm=cfg.voxel.cube_extent_mm,
         )
 
-    images_d = jax.device_put(
-        jnp.asarray(images, jnp.float32), replicated(mesh)
-    )
-    Ps_d = jax.device_put(jnp.asarray(Ps, jnp.float32), replicated(mesh))
+    images_d = global_put(np.asarray(images, np.float32), replicated(mesh))
+    Ps_d = global_put(np.asarray(Ps, np.float32), replicated(mesh))
     shard = cube_sharded(mesh)
 
     # mirror run_sweep: the Pallas gather streams fixed-size image crops, so
@@ -220,16 +265,14 @@ def run_sweep_sharded(
             return cube_batch_step(
                 images_d,
                 Ps_d,
-                jax.device_put(jnp.asarray(r_origins), shard),
-                jax.device_put(jnp.asarray(pair_idx, jnp.int32), shard),
-                jax.device_put(jnp.asarray(pair_w, jnp.float32), shard),
+                global_put(np.asarray(r_origins, np.float32), shard),
+                global_put(np.asarray(pair_idx, np.int32), shard),
+                global_put(np.asarray(pair_w, np.float32), shard),
                 None
                 if core_bounds is None
-                else jax.device_put(
-                    jnp.asarray(core_bounds, jnp.int32), shard
-                ),
-                jax.device_put(jnp.asarray(uniq_views, jnp.int32), shard),
-                jax.device_put(jnp.asarray(slot_idx, jnp.int32), shard),
+                else global_put(np.asarray(core_bounds, np.int32), shard),
+                global_put(np.asarray(uniq_views, np.int32), shard),
+                global_put(np.asarray(slot_idx, np.int32), shard),
                 D=D,
                 s=s,
                 n_pairs=cfg.fusion.n_view_pairs,
@@ -249,45 +292,118 @@ def run_sweep_sharded(
                 pool_window=pool_window,
             )
 
-        return r_grid, valid_counts, launch(), launch
+        host = dict(
+            origins=r_origins, pair_idx=pair_idx, pair_w=pair_w,
+            core_bounds=core_bounds, uniq_views=uniq_views,
+            slot_idx=slot_idx,
+        )
+        return r_grid, valid_counts, launch(), host
 
     compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)
+    local_frames = []  # lazy process-local (images, Ps) for re-fetches
 
-    def harvest(r_grid, valid_counts, out, launch):
+    def dispatch_rows_local(host, rows: np.ndarray):
+        """Dense truncation re-fetch of selected rows as a PROCESS-LOCAL
+        dispatch: the offending rows belong to this process's blocks, so no
+        global program (and no cross-process agreement on whether to
+        re-fetch) is needed — each process re-fetches its own offenders.
+        Rows are padded to a fixed mini-batch so the dense program compiles
+        once (see pipeline.sweep._REFETCH_PAD)."""
+        from surfacenet_tpu.pipeline.sweep import _REFETCH_PAD
+
+        PAD = min(cfg.sweep.cube_batch, _REFETCH_PAD)
+        n_pad = (-len(rows)) % PAD
+        rr = (
+            np.concatenate([rows, rows[:1].repeat(n_pad)]) if n_pad
+            else rows
+        )
+        if not local_frames:  # lazy: uploaded once, only if ever needed
+            local_frames.append(jnp.asarray(images, jnp.float32))
+            local_frames.append(jnp.asarray(Ps, jnp.float32))
+        images_l, Ps_l = local_frames
+        outs = []
+        for c0 in range(0, len(rr), PAD):
+            sel = rr[c0 : c0 + PAD]
+            out = cube_batch_step(
+                images_l,
+                Ps_l,
+                jnp.asarray(host["origins"][sel], jnp.float32),
+                jnp.asarray(host["pair_idx"][sel], jnp.int32),
+                jnp.asarray(host["pair_w"][sel], jnp.float32),
+                None
+                if host["core_bounds"] is None
+                else jnp.asarray(host["core_bounds"][sel], jnp.int32),
+                jnp.asarray(host["uniq_views"][sel], jnp.int32),
+                jnp.asarray(host["slot_idx"][sel], jnp.int32),
+                D=D,
+                s=s,
+                n_pairs=cfg.fusion.n_view_pairs,
+                tau=cfg.fusion.tau,
+                gamma=cfg.fusion.gamma,
+                adaptive=cfg.fusion.adaptive_threshold,
+                center_colors=cfg.voxel.center_colors,
+                predict=predictor,
+                use_pallas=cfg.sweep.use_pallas_gather,
+                n_pool_views=cfg.fusion.n_pool_views,
+                ray_pool_mode=cfg.fusion.ray_pool_mode,
+                crop_hw=crop_hw,
+                adaptive_taus=cfg.fusion.adaptive_taus,
+                adaptive_target_density=cfg.fusion.adaptive_target_density,
+                compact_output=False,
+                compact_k=cfg.sweep.compact_k,
+                pool_window=pool_window,
+            )
+            outs.append(tuple(np.asarray(x) for x in out))
+        take = len(rows)
+        return (
+            np.concatenate([o[0] for o in outs])[:take],
+            np.concatenate([o[1] for o in outs])[:take],
+            np.concatenate([o[2] for o in outs])[:take],
+        )
+
+    def harvest(r_grid, valid_counts, out, host):
         nonlocal n_processed
         from surfacenet_tpu.pipeline.sweep import unpack_compact
 
-        counts = np.asarray(out[1])
-        rec_np = np.asarray(out[0])
-        # only valid slots count: padding duplicates a real cube, whose
-        # (possibly truncated) result is harvested from its own slot.
-        valid = np.zeros(len(counts), bool)
-        for b in range(n_block):
-            valid[b * per_block_round : b * per_block_round + valid_counts[b]] = True
-        # exactness check (see run_sweep.harvest): catches compact_k
-        # truncation AND approx_max_k recall misses.
-        got = (rec_np[:, :, 3] > 0).sum(axis=1)
-        if (got[valid] < counts[valid]).any():
-            n_over = int((got[valid] < counts[valid]).sum())
-            print(
-                f"sharded sweep: {n_over} cube(s) short of their occupied "
-                f"count (compact_k={compact_K}); re-fetching round dense"
-            )
-            occ, fused, color = (np.asarray(x) for x in launch(False))
-        else:
-            occ, fused, color = unpack_compact(rec_np, counts, D)
+        rec_g, counts_g = out[0], out[1]
         stats.n_batches += 1
         stats.n_rounds += 1
-        for b in range(n_block):
+        for b in mine:
             base = b * per_block_round
-            for i in range(valid_counts[b]):
+            vb = valid_counts[b]
+            if vb == 0:
+                continue
+            rec_b = fetch_rows(rec_g, base, base + per_block_round)
+            counts_b = fetch_rows(counts_g, base, base + per_block_round)
+            occ, fused, color = unpack_compact(rec_b, counts_b, D)
+            # exactness check (see run_sweep.harvest): catches compact_k
+            # truncation AND approx_max_k recall misses.  Only valid slots
+            # count: padding duplicates a real cube, whose (possibly
+            # truncated) result is harvested from its own slot.
+            got = (rec_b[:vb, :, 3] > 0).sum(axis=1)
+            short = np.flatnonzero(got < counts_b[:vb])
+            if len(short):
+                print(
+                    f"sharded sweep: block {b}: {len(short)} cube(s) short "
+                    f"of their occupied count (compact_k={compact_K}); "
+                    f"re-fetching them dense"
+                )
+                if metrics is not None:
+                    metrics.count(
+                        "compact_truncation_refetches", len(short)
+                    )
+                d_occ, d_fused, d_color = dispatch_rows_local(
+                    host, base + short
+                )
+                occ[short] = d_occ
+                fused[short] = d_fused
+                color[short] = d_color
+            for i in range(vb):
                 gi = tuple(r_grid[base + i])
-                if occ[base + i].any():
+                if occ[i].any():
                     stats.n_cubes_nonempty += 1
                 stores[b].add(
-                    CubeResult(
-                        gi, occ[base + i], fused[base + i], color[base + i]
-                    )
+                    CubeResult(gi, occ[i], fused[i], color[i])
                 )
                 n_processed += 1
 
@@ -322,6 +438,15 @@ def run_sweep_sharded(
     # merge blocks: block stores share the scene frame, so their cube
     # records concatenate into one global store (boundary-overlap voxels get
     # votes from both owning blocks' cubes).
+    #
+    # Multi-process: barrier, then process 0 rehydrates the other
+    # processes' block ledgers from the shared directory into the merged
+    # store (export/report is gated on process 0 — non-zero processes
+    # return only their own blocks' results).
+    if pc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("surfacenet_sweep_rounds_done")
     merged = SparseCubeStore(
         scene_origin=np.asarray(bbox_min, np.float64),
         voxel_size_mm=s,
@@ -329,7 +454,19 @@ def run_sweep_sharded(
         stride=cfg.voxel.stride,
         occupancy_vote=0.0 if pool_window > 0 else 0.5,
     )
-    for st in stores:
+    merge_blocks = range(n_block) if pi == 0 else mine
+    for b in merge_blocks:
+        st = stores[b]
+        if pc > 1 and b not in mine:
+            # another process's block: rehydrate its completed ledger
+            st = SparseCubeStore(
+                scene_origin=np.asarray(bbox_min, np.float64),
+                voxel_size_mm=s,
+                cube_size=D,
+                stride=cfg.voxel.stride,
+                ledger_path=f"{ledger_dir}/block_{b}.jsonl",
+                occupancy_vote=0.0 if pool_window > 0 else 0.5,
+            )
         for g, res in st._cubes.items():
             merged.add(res)
         merged._done |= st.done_set()

@@ -560,7 +560,9 @@ def train_surfacenet(
 
     batch_sharding = None
     if mesh is not None:
-        from surfacenet_tpu.parallel.mesh import cube_sharded, replicated
+        from surfacenet_tpu.parallel.mesh import (
+            cube_sharded, global_put, replicated,
+        )
 
         if cfg.train.scan_chunk <= 0:
             raise ValueError(
@@ -572,7 +574,9 @@ def train_surfacenet(
                 f"of the {mesh.devices.size}-device mesh"
             )
         batch_sharding = cube_sharded(mesh)
-        state = jax.device_put(state, replicated(mesh))
+        # multi-process-safe: every process holds the same initial state
+        # (seeded identically), so each contributes its addressable shards.
+        state = global_put(jax.device_get(state), replicated(mesh))
 
     n_steps = n_steps if n_steps is not None else cfg.train.n_steps
 
@@ -630,17 +634,19 @@ def train_surfacenet(
     if mesh is not None and sampler is None and pool is None:
         raise ValueError("mesh training requires a device-samplable scene")
     if mesh is not None:
-        from surfacenet_tpu.parallel.mesh import replicated
+        from surfacenet_tpu.parallel.mesh import global_put, replicated
 
         rep = replicated(mesh)
-        scan_images = jax.device_put(scan_images, rep)
-        scan_Ps = jax.device_put(scan_Ps, rep)
+        scan_images = global_put(jax.device_get(scan_images), rep)
+        scan_Ps = global_put(jax.device_get(scan_Ps), rep)
         if sampler is not None:
-            sampler = jax.device_put(sampler[:2], rep) + sampler[2:3] + (
-                jax.device_put(sampler[3], rep),
+            sampler = global_put(
+                jax.device_get(sampler[:2]), rep
+            ) + sampler[2:3] + (
+                global_put(jax.device_get(sampler[3]), rep),
             )
         if pool is not None:
-            pool = jax.device_put(pool, rep)
+            pool = global_put(jax.device_get(pool), rep)
     if sampler is not None or pool is not None:
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         done = 0
@@ -713,7 +719,13 @@ def train_surfacenet(
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
-    """Orbax checkpoint of params + batch_stats + opt state (SURVEY.md SS5)."""
+    """Orbax checkpoint of params + batch_stats + opt state (SURVEY.md SS5).
+
+    Multi-process: EVERY process must call this (Orbax's save is itself a
+    collective — it syncs processes internally and writes each shard from
+    an owning process; gating it to process 0 deadlocks the others).  The
+    ckpt_dir must be on a shared filesystem, the TPU-pod norm.
+    """
     import orbax.checkpoint as ocp
     import os
 

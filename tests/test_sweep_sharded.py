@@ -87,3 +87,33 @@ def test_sharded_sweep_block_ledger_resume(sphere_scene, tmp_path):
     p1, _, _ = store1.merge()
     p2, _, _ = store2.merge()
     assert len(p1) == len(p2)
+
+
+def test_sharded_truncation_refetch_per_cube(sphere_scene, tmp_path):
+    """compact_k truncation in the sharded sweep re-fetches only the
+    offending cubes via a process-local dense mini-dispatch; results match
+    the unsharded ample-compact_k sweep exactly."""
+    import dataclasses
+
+    cfg = _config()
+    store_ref, _ = run_sweep(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max,
+        cfg, photoconsistency_predictor,
+    )
+    cfg_small = dataclasses.replace(
+        cfg, sweep=dataclasses.replace(cfg.sweep, compact_k=8)
+    )
+    mesh = make_mesh(n_block=2)
+    store_sh, _ = run_sweep_sharded(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max,
+        cfg_small, photoconsistency_predictor, mesh=mesh,
+        ledger_dir=str(tmp_path),
+    )
+    p_ref, _, _ = store_ref.merge()
+    p_sh, _, _ = store_sh.merge()
+    a = set(map(tuple, np.round(p_ref, 3)))
+    b = set(map(tuple, np.round(p_sh, 3)))
+    jaccard = len(a & b) / max(len(a | b), 1)
+    assert jaccard > 0.999, f"jaccard={jaccard}"
