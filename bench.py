@@ -169,6 +169,37 @@ def main():
     fwd_items_per_s = n_items * n_iters / best_fwd
     fwd_mfu = 100.0 * fm.utilization(fwd_items_per_s, peak)
 
+    # --- MXU-aligned operating point (ROOFLINE.md SS4's lever: the
+    # paper widths cap the lane ceiling at 59.3%; mxu_aligned() removes
+    # it.  Shipped weights: weights/golden_{sphere,tori}_aligned_30k,
+    # quality next to paper-width rows in results/quality_r03_aligned.json)
+    fwd_mfu_aligned = None
+    try:
+        from surfacenet_tpu.config import ModelConfig
+
+        acfg = ModelConfig.mxu_aligned()
+        amodel, avars = init_surfacenet(acfg, jax.random.PRNGKey(0), D=D)
+        apredict = make_predictor(amodel, avars, acfg)
+        afm = FlopModel(acfg, D)
+        x_a = jnp.zeros(
+            (n_items, D, D, D, acfg.in_channels), jnp.float32
+        )
+        afwd = jax.jit(lambda x: apredict(x, None))
+        float(jnp.sum(afwd(x_a)))
+        best_a = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sums = [jnp.sum(afwd(x_a)) for _ in range(n_iters)]
+            float(sum(sums))
+            best_a = min(best_a, time.perf_counter() - t0)
+        fwd_mfu_aligned = 100.0 * afm.utilization(
+            n_items * n_iters / best_a, peak
+        )
+    except Exception as e:  # aligned line must not take down the headline
+        import sys
+
+        print(f"bench: aligned point failed: {e!r}", file=sys.stderr)
+
     # --- 64^3 operating point (BASELINE config 2: train 32^3, apply 64^3)
     cubes_per_s_64 = None
     try:
@@ -272,6 +303,8 @@ def main():
         "mxu_lane_ceiling_pct": round(100.0 * fm.mxu_ceiling(), 1),
         "peak_tflops": peak,
     }
+    if fwd_mfu_aligned is not None:
+        rec["model_fwd_mfu_pct_aligned"] = round(fwd_mfu_aligned, 1)
     if cubes_per_s_64 is not None:
         rec["cubes_per_s_64"] = round(cubes_per_s_64, 2)
     if train_steps_per_s is not None:
