@@ -104,28 +104,31 @@ def _load_predictor(checkpoint, cfg):
 
 
 def _make_pair_selector(pairnet_dir, cfg, scan):
-    """Learned pair selector from a trained pairnet checkpoint, or None."""
+    """Learned pair selector from a trained pairnet checkpoint, or None.
+
+    Uses the cube-LOCAL consensus selector: per-cube view gates from the
+    triplet embedding exclude occluded/specular views for exactly the
+    cubes they corrupt (measured on the occluded golden scene: 23% better
+    overall than geometric selection; the scene-global similarity matrix
+    was a tie — results/occlusion_r03.json)."""
     if not pairnet_dir:
         return None
     import functools
 
-    from surfacenet_tpu.ops.view_pairs import (
-        select_pairs_learned, view_similarity_from_scene,
-    )
+    from surfacenet_tpu.ops.view_pairs import select_pairs_learned_local
     from surfacenet_tpu.train.train_pair import restore_pairnet
 
     model, variables = restore_pairnet(pairnet_dir, cfg)
-    sim = view_similarity_from_scene(
-        scan.images, scan.Ps, scan.bbox_min, scan.bbox_max,
-        model, variables, cfg.pairnet.patch_size,
-    )
     print(f"using learned pair weights from {pairnet_dir}")
     return functools.partial(
-        select_pairs_learned,
+        select_pairs_learned_local,
         n_pairs=cfg.fusion.n_view_pairs,
         image_hw=scan.images.shape[1:3],
         extent_mm=cfg.voxel.cube_extent_mm,
-        similarity=sim,
+        images=scan.images,
+        model=model,
+        variables=variables,
+        patch_size=cfg.pairnet.patch_size,
     )
 
 

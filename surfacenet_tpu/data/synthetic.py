@@ -279,6 +279,180 @@ def make_tori_scene(
     )
 
 
+def _occluder_texture(pts: np.ndarray) -> np.ndarray:
+    """REPEATED high-frequency tile pattern: locally textured (so naive
+    photoconsistency can latch onto false matches) but globally ambiguous,
+    and entirely unlike the sphere's texture family."""
+    q = pts * 0.9  # ~7 mm tile period
+    r = 0.5 + 0.5 * np.sign(np.sin(0.9 * q[..., 0]) * np.sin(0.9 * q[..., 1]))
+    g = 0.5 + 0.5 * np.sin(5.0 * q[..., 2])
+    b = np.full_like(r, 0.25)
+    return np.stack([r, 0.6 * g, b], axis=-1)
+
+
+def _trace_occluded_sphere(
+    P: np.ndarray,
+    hw: Tuple[int, int],
+    center: np.ndarray,
+    radius: float,
+    occ_center: np.ndarray,
+    occ_normal: np.ndarray,
+    occ_radius: float,
+    specular: float = 0.0,
+    bg: float = 0.1,
+) -> np.ndarray:
+    """Ray-trace the textured sphere behind a textured occluder disk;
+    nearest hit wins.  Optional Phong-style specular lobe on the sphere
+    (view-DEPENDENT shading: violates photoconsistency across baselines,
+    the paper's specularity failure mode for fixed pair weights)."""
+    H, W = hw
+    M = P[:, :3]
+    p4 = P[:, 3]
+    cam = -np.linalg.solve(M, p4)
+    Minv = np.linalg.inv(M)
+
+    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1)
+    dirs = pix @ Minv.T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    # sphere hit
+    oc = cam - center
+    b = np.sum(dirs * oc, axis=-1)
+    c = np.dot(oc, oc) - radius**2
+    disc = b * b - c
+    s_hit = disc > 0
+    t_s = -b - np.sqrt(np.maximum(disc, 0.0))
+    s_hit &= t_s > 0
+
+    # occluder disk hit
+    denom = dirs @ occ_normal
+    t_d = np.where(
+        np.abs(denom) > 1e-9,
+        ((occ_center - cam) @ occ_normal) / denom,
+        -1.0,
+    )
+    p_d = cam + dirs * t_d[..., None]
+    d_hit = (t_d > 0) & (
+        np.linalg.norm(p_d - occ_center, axis=-1) < occ_radius
+    )
+
+    img = np.full((H, W, 3), bg, np.float64)
+    sphere_front = s_hit & (~d_hit | (t_s < t_d))
+    pts_s = cam + dirs * t_s[..., None]
+    col = _texture(pts_s[sphere_front], center)
+    if specular > 0.0:
+        # light fixed above the scene; highlight follows the CAMERA
+        n_s = pts_s[sphere_front] - center
+        n_s /= np.linalg.norm(n_s, axis=-1, keepdims=True)
+        light = np.array([0.3, -0.2, 1.0])
+        light = light / np.linalg.norm(light)
+        refl = 2 * (n_s @ light)[:, None] * n_s - light
+        view = -dirs[sphere_front]
+        spec = np.clip(np.sum(refl * view, axis=-1), 0.0, 1.0) ** 24
+        col = np.clip(col + specular * spec[:, None], 0.0, 1.0)
+    img[sphere_front] = col
+    disk_front = d_hit & (~sphere_front | (t_d < t_s))
+    img[disk_front] = _occluder_texture(p_d[disk_front])
+    return img.astype(np.float32)
+
+
+@dataclasses.dataclass
+class OccludedScene(SyntheticScene):
+    """SyntheticScene + the occluder disk's analytic parameters, so tests
+    and eval scripts can derive ground-truth occlusion per view."""
+
+    occ_center: np.ndarray = None
+    occ_normal: np.ndarray = None
+    occ_radius: float = 0.0
+
+    def occluded_views(self) -> np.ndarray:
+        """Views whose ray to the sphere center crosses the disk."""
+        out = []
+        for v in range(self.Ps.shape[0]):
+            M = self.Ps[v][:, :3]
+            cam = -np.linalg.solve(M, self.Ps[v][:, 3])
+            d = self.center - cam
+            denom = d @ self.occ_normal
+            if abs(denom) < 1e-9:
+                continue
+            t = ((self.occ_center - cam) @ self.occ_normal) / denom
+            if not 0.0 < t < 1.0:
+                continue
+            p = cam + t * d
+            if np.linalg.norm(p - self.occ_center) < self.occ_radius:
+                out.append(v)
+        return np.asarray(out, int)
+
+
+def make_occluded_scene(
+    n_views: int = 12,
+    hw: Tuple[int, int] = (120, 160),
+    radius: float = 30.0,
+    cam_dist: float = 120.0,
+    focal: float = 200.0,
+    occ_dist: float = 52.0,
+    occ_radius: float = 55.0,
+    specular: float = 0.35,
+    seed: int = 0,
+) -> "OccludedScene":
+    """The anti-geometric golden scene (SURVEY.md C6: occlusion +
+    specularity robustness of LEARNED pair weights).
+
+    A textured sphere (the reconstruction target and the only surface in
+    the eval GT / occupancy labels) ringed by cameras, plus a repeated-
+    texture occluder disk at azimuth 0, OUTSIDE the sweep bbox, that
+    blocks the sphere for the ~1/4 of views nearest +x: those views'
+    CVCs sample occluder garbage for true-surface voxels, but no frustum
+    or baseline-angle computation can know it — the geometric selector
+    keeps fusing them, while a triplet-net similarity (whose probe
+    patches in occluded views show the disk's tile pattern) can learn to
+    exclude them.  A specular lobe on the sphere additionally breaks
+    exact photoconsistency everywhere.
+    """
+    center = np.zeros(3)
+    occ_dir = np.array([1.0, 0.0, 0.0])
+    occ_center = center + occ_dist * occ_dir
+    H, W = hw
+    Ps = []
+    images = []
+    rng = np.random.default_rng(seed)
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        elev = 0.35 + 0.1 * rng.standard_normal()
+        eye = center + cam_dist * np.array(
+            [
+                np.cos(ang) * np.cos(elev),
+                np.sin(ang) * np.cos(elev),
+                np.sin(elev),
+            ]
+        )
+        P = look_at_projection(
+            eye, center, np.array([0.0, 0.0, 1.0]), focal, (W / 2, H / 2)
+        )
+        Ps.append(P)
+        images.append(
+            _trace_occluded_sphere(
+                P, hw, center, radius,
+                occ_center, -occ_dir, occ_radius, specular=specular,
+            )
+        )
+
+    pad = radius * 0.35  # bbox excludes the occluder (occ_dist > r + pad)
+    assert occ_dist > radius + pad
+    return OccludedScene(
+        images=np.stack(images),
+        Ps=np.stack(Ps),
+        bbox_min=center - radius - pad,
+        bbox_max=center + radius + pad,
+        center=center,
+        radius=radius,
+        occ_center=occ_center,
+        occ_normal=-occ_dir,
+        occ_radius=occ_radius,
+    )
+
+
 def make_sphere_scene(
     n_views: int = 8,
     hw: Tuple[int, int] = (120, 160),

@@ -64,18 +64,40 @@ def view_similarity_matrix(
     model: PairNet,
     variables: Any,
     patches: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Learned pairwise view-similarity matrix.
 
+    Per-PROBE similarity, aggregated over probes.  Probe k is one 3D scene
+    point; ``patches[v, k]`` is its patch in view v, so
+    ``<emb[a,k], emb[b,k]>`` asks "do views a and b photograph probe k the
+    same way?" — the triplet net's training question.  (An earlier version
+    mean-pooled embeddings over probes per view before one cosine per pair,
+    which destroys exactly that correspondence and compressed all scene
+    similarities into a ~0.95-0.99 band, too flat for selection to act on.)
+
     Args:
-      patches: (V, K, P, P, 3) K sampled patches per view (e.g. around
-        projected scene-bbox keypoints).
+      patches: (V, K, P, P, 3) K sampled probe patches per view.
+      valid: optional (V, K) bool — probe k projects on-image in view v.
+        A pair's aggregate uses only probes valid in BOTH views (an
+        off-image probe yields an all-zero patch whose constant embedding
+        would otherwise count as perfect agreement).
 
     Returns:
-      (V, V) mean embedding similarity between views, in [0, 1].
+      (V, V) similarity in [0, 1]; pairs with no shared valid probe
+      (and the diagonal) report 1.0 (neutral: selection falls back to
+      geometry).
     """
     V, K = patches.shape[:2]
     emb = model.apply(variables, patches.reshape((V * K,) + patches.shape[2:]))
-    emb = emb.reshape(V, K, -1).mean(axis=1)
-    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
-    return 0.5 * (1.0 + emb @ emb.T)
+    emb = emb.reshape(V, K, -1)
+    sims = 0.5 * (1.0 + jnp.einsum(
+        "ake,bke->abk", emb, emb,
+        precision=jax.lax.Precision.HIGHEST,
+    ))
+    if valid is None:
+        return sims.mean(axis=-1)
+    w = (valid[:, None, :] & valid[None, :, :]).astype(jnp.float32)
+    denom = w.sum(axis=-1)
+    sim = jnp.where(denom > 0, (sims * w).sum(axis=-1) / jnp.maximum(denom, 1.0), 1.0)
+    return sim
