@@ -192,6 +192,19 @@ class TrainConfig:
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
+    # pooled-sampler size (cubes precomputed per pool for scenes without
+    # an analytic surface; bit-packed labels keep even 64^3 pools small).
+    pool_size: int = 2048
+    # pooled-sampler freshness (SURVEY.md C11: the reference samples fresh
+    # cubes continually; a fixed 2048-cube pool overfits a 30k-step run).
+    # Every pool_refresh_steps steps the host rebuilds the pool with a new
+    # seed while the device trains the current scan chunk; 0 = fixed pool.
+    # Analytic-SDF scenes resample per-step on device and ignore this.
+    pool_refresh_steps: int = 0
+    # held-out eval-split loss cadence: every eval_every steps, measure
+    # class-balanced BCE on a fixed pool the train pool never sees
+    # (exposes pool overfit); 0 = off.
+    eval_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -524,10 +524,68 @@ def train_steps_scan_pool(
     return jax.lax.scan(body, state, keys)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "D", "s", "balanced", "center_colors",
+        "use_pallas", "crop_hw",
+    ),
+)
+def eval_loss_pool(
+    state: TrainState,
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    pool_origins: jnp.ndarray,  # (N, 3), N a multiple of batch
+    pool_pairs: jnp.ndarray,  # (N, k, 2)
+    pool_labels: jnp.ndarray,  # (N, D^3/8) packed
+    *,
+    batch: int,
+    D: int,
+    s: float,
+    balanced: bool,
+    center_colors: bool,
+    use_pallas: bool = False,
+    crop_hw: tuple = (192, 256),
+) -> jnp.ndarray:
+    """Mean class-balanced BCE over a held-out pool (train=False, no
+    update, deterministic first-pair choice) — the eval-split loss that
+    exposes train-pool overfit (SURVEY.md C11)."""
+    bits = jnp.arange(8, dtype=jnp.uint8)
+    nb = pool_origins.shape[0] // batch
+
+    def body(total, i):
+        sl = functools.partial(
+            jax.lax.dynamic_slice_in_dim, start_index=i * batch,
+            slice_size=batch,
+        )
+        origins = sl(pool_origins)
+        packed = sl(pool_labels)
+        labels = (
+            ((packed[..., None] >> bits) & 1)
+            .reshape(batch, D, D, D)
+            .astype(jnp.float32)
+        )
+        pair_idx = sl(pool_pairs)[:, 0]
+        x, valid = _gather_cvcs(
+            images, Ps, pair_idx, origins, D, s, center_colors,
+            use_pallas, crop_hw,
+        )
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, return_logits=True,
+        )
+        return total + class_balanced_bce(out, labels, valid, balanced), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(nb))
+    return total / nb
+
+
 @dataclasses.dataclass
 class TrainLog:
     steps: list
     losses: list
+    eval_steps: list = dataclasses.field(default_factory=list)
+    eval_losses: list = dataclasses.field(default_factory=list)
 
 
 def train_surfacenet(
@@ -621,7 +679,10 @@ def train_surfacenet(
         sampler = make_device_sampler(scenes[0], cfg, seed=cfg.train.seed)
         if sampler is None:
             # no analytic surface (PointCloudScene): pooled labels instead
-            pool = make_pool_sampler(scenes[0], cfg, seed=cfg.train.seed)
+            pool = make_pool_sampler(
+                scenes[0], cfg, n_pool=cfg.train.pool_size,
+                seed=cfg.train.seed,
+            )
         scan_images = jnp.asarray(scenes[0].images, jnp.float32)
         scan_Ps = jnp.asarray(scenes[0].Ps, jnp.float32)
     elif cfg.train.scan_chunk > 0 and len(
@@ -629,7 +690,7 @@ def train_surfacenet(
     ) == 1:
         # multi-scene: one union pool over stacked views
         scan_images, scan_Ps, pool = make_pool_sampler_multi(
-            scenes, cfg, seed=cfg.train.seed
+            scenes, cfg, n_pool=cfg.train.pool_size, seed=cfg.train.seed
         )
     if mesh is not None and sampler is None and pool is None:
         raise ValueError("mesh training requires a device-samplable scene")
@@ -648,6 +709,52 @@ def train_surfacenet(
         if pool is not None:
             pool = global_put(jax.device_get(pool), rep)
     if sampler is not None or pool is not None:
+        def build_pool(seed):
+            if len(scenes) == 1:
+                p = make_pool_sampler(
+                    scenes[0], cfg, n_pool=cfg.train.pool_size, seed=seed
+                )
+            else:
+                _, _, p = make_pool_sampler_multi(
+                    scenes, cfg, n_pool=cfg.train.pool_size, seed=seed
+                )
+            if mesh is not None:
+                from surfacenet_tpu.parallel.mesh import (
+                    global_put, replicated,
+                )
+
+                p = global_put(jax.device_get(p), replicated(mesh))
+            return p
+
+        # held-out eval split: a fixed pool the train pool never sees
+        # (disjoint seed stream; scenes are continuous surfaces, so probe
+        # cubes differ).  Works for both sampler and pool scenes — every
+        # TrainScene exposes surface_points/occupancy.
+        eval_pool = None
+        if cfg.train.eval_every > 0:
+            eval_n = 8 * cfg.train.batch_size
+            if len(scenes) == 1:
+                eval_pool = make_pool_sampler(
+                    scenes[0], cfg, n_pool=eval_n,
+                    seed=cfg.train.seed + 500_000,
+                )
+            else:
+                _, _, eval_pool = make_pool_sampler_multi(
+                    scenes, cfg, n_pool=eval_n,
+                    seed=cfg.train.seed + 500_000,
+                )
+            if mesh is not None:
+                from surfacenet_tpu.parallel.mesh import (
+                    global_put, replicated,
+                )
+
+                eval_pool = global_put(
+                    jax.device_get(eval_pool), replicated(mesh)
+                )
+
+        refresh = cfg.train.pool_refresh_steps
+        next_refresh = refresh if (refresh > 0 and pool is not None) else None
+        next_eval = 0 if eval_pool is not None else None
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         done = 0
         while done < n_steps:
@@ -672,6 +779,13 @@ def train_surfacenet(
                 state, losses = train_steps_scan_pool(
                     state, scan_images, scan_Ps, *pool, sub, **kw
                 )
+            # host-side pool rebuild OVERLAPS the device's scan chunk:
+            # the dispatch above is async, np.asarray(losses) below syncs.
+            if next_refresh is not None and done + K >= next_refresh:
+                pool = build_pool(
+                    cfg.train.seed + 1000 + (done + K)
+                )
+                next_refresh += refresh
             losses = np.asarray(losses)
             for i in range(K):
                 step = done + i
@@ -679,6 +793,20 @@ def train_surfacenet(
                     log.steps.append(step)
                     log.losses.append(float(losses[i]))
             done += K
+            if next_eval is not None and (
+                done >= next_eval or done == n_steps
+            ):
+                ev = float(eval_loss_pool(
+                    state, scan_images, scan_Ps, *eval_pool,
+                    batch=cfg.train.batch_size,
+                    D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
+                    balanced=cfg.train.class_balance,
+                    center_colors=cfg.voxel.center_colors,
+                    use_pallas=use_pallas, crop_hw=crop_hw,
+                ))
+                log.eval_steps.append(done)
+                log.eval_losses.append(ev)
+                next_eval = done + cfg.train.eval_every
             if checkpoint_dir and (
                 done % cfg.train.checkpoint_every < K or done == n_steps
             ):

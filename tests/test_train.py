@@ -368,3 +368,37 @@ def test_load_pretrained_shipped_weights():
     x = jnp.zeros((1, 32, 32, 32, 6))
     p = model.apply(variables, x, train=False)
     assert p.shape == (1, 32, 32, 32)
+
+
+def test_pool_refresh_and_eval_split(small_scene, monkeypatch):
+    """pool_refresh_steps rebuilds the pool mid-run (fresh cube sampling,
+    SURVEY.md C11 — a fixed pool overfits long runs) and eval_every logs a
+    held-out-split loss the train pool never saw (VERDICT-r2 weak #4)."""
+    import surfacenet_tpu.train.train_surface as ts
+
+    calls = []
+    orig = ts.make_pool_sampler
+
+    def counting(scene, cfg, n_pool=2048, seed=0):
+        calls.append((n_pool, seed))
+        return orig(scene, cfg, n_pool=n_pool, seed=seed)
+
+    monkeypatch.setattr(ts, "make_pool_sampler", counting)
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(batch_size=4, lr=1e-2, n_steps=12, seed=0,
+                          scan_chunk=4, pool_size=32,
+                          pool_refresh_steps=8, eval_every=6),
+    )
+    state, log = train_surfacenet(
+        _pc_scene(small_scene), cfg, n_steps=12, log_every=1
+    )
+    seeds = [s for _, s in calls]
+    # initial train pool + held-out eval pool + >=1 mid-run refresh,
+    # each from a distinct seed stream (eval split stays disjoint)
+    assert len(seeds) >= 3 and len(set(seeds)) == len(seeds), seeds
+    assert log.eval_steps and len(log.eval_steps) == len(log.eval_losses)
+    assert all(np.isfinite(v) for v in log.eval_losses), log.eval_losses
+    assert len(log.losses) == 12
