@@ -276,11 +276,14 @@ def baseline_config(name: str) -> Config:
             ),
             sweep=b32,
         )
-    if name == "dtu9_full":  # config 2: multi-pair fusion + adaptive tau, 64^3
+    if name == "dtu9_full":  # config 2: multi-pair fusion, 64^3.
+        # adaptive_threshold measured OFF in r3: the per-cube density
+        # target degrades accuracy 3-6x on both golden scenes at flat
+        # completeness (results/adaptive_r03.json); fixed tau wins.
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=64),
             fusion=dataclasses.replace(
-                base.fusion, n_view_pairs=5, adaptive_threshold=True
+                base.fusion, n_view_pairs=5, adaptive_threshold=False
             ),
             sweep=b64,
         )
@@ -303,5 +306,17 @@ def baseline_config(name: str) -> Config:
         return base.replace(
             voxel=dataclasses.replace(base.voxel, voxel_size_mm=2.0, cube_size=64),
             sweep=b64,
+        )
+    if name == "golden_aligned":  # r3: the MXU-aligned operating point —
+        # 100% lane ceiling, quality BEATS paper width on both golden
+        # scenes (results/quality_r03_aligned.json; ROOFLINE.md SS4)
+        c = baseline_config("dtu9_single")
+        return c.replace(
+            model=ModelConfig.mxu_aligned(),
+            fusion=dataclasses.replace(c.fusion, n_view_pairs=5),
+            train=dataclasses.replace(
+                c.train, n_steps=30000, lr=3e-3, lr_decay="cosine",
+                batch_size=16,
+            ),
         )
     raise ValueError(f"unknown baseline config: {name}")

@@ -54,14 +54,15 @@ def test_reconstruct_cli(tmp_path, small_scene):
 
 
 def test_baseline_preset_files_load():
-    """The 5 BASELINE operating points ship as config files that round-trip."""
+    """The BASELINE operating points (+ the r3 MXU-aligned point) ship as
+    config files that round-trip against baseline_config()."""
     import glob
     import os
 
     from surfacenet_tpu.config import Config, baseline_config
 
     files = sorted(glob.glob("configs/*.json"))
-    assert len(files) == 5
+    assert len(files) == 6
     for f in files:
         name = os.path.splitext(os.path.basename(f))[0]
         cfg = Config.from_json(open(f).read())
