@@ -10,6 +10,28 @@ evaluations are self-contained:
 Nearest-neighbor queries run as a chunked brute-force on device (one
 (n, m) distance matrix per chunk — an MXU matmul via the |a-b|^2 expansion),
 which beats host KD-trees for the point counts involved here.
+
+Deltas vs the official DTU MATLAB protocol (Jensen et al., CVPR 2014) —
+documented so any future real-DTU comparison is made with eyes open
+(VERDICT-r2 missing #5):
+
+  1. **Observability masks.**  DTU restricts accuracy to predicted points
+     inside the scan's `ObsMask` volume (regions observed by enough
+     structured-light views) and completeness to GT points on the `Plane`
+     side; we evaluate all points.  On the synthetic golden scenes every
+     point is observable, so the numbers coincide; on real DTU our
+     accuracy would be pessimistic (points outside the mask that DTU
+     ignores count against us) — never optimistic.
+  2. **Outlier handling.**  DTU reports means after dropping distances
+     beyond 20 mm AND medians; ``truncate_mm`` (default 20) clamps
+     rather than drops — again pessimistic-or-equal, since clamped
+     outliers still contribute 20 mm instead of vanishing.  Medians can
+     be computed from the returned per-point distances if needed
+     (``min_dists``).
+  3. **GT density.**  DTU compares against the full structured-light
+     reference cloud; golden tests sample the analytic surface (8k
+     points by default), which bounds completeness resolution at the
+     sampling spacing (~0.5 mm at 8k points on the 30 mm sphere).
 """
 
 from __future__ import annotations
