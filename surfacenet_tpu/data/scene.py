@@ -54,10 +54,29 @@ class PointCloudScene:
         return self.gt_points[idx]
 
     def surface_distance(self, pts: np.ndarray) -> np.ndarray:
-        from surfacenet_tpu.utils.metrics import min_dists
+        """Exact NN distance to the GT cloud, host KD-tree.
 
+        Label generation queries ~N_pool * D^3 voxel centers (67M at a
+        2048-cube 32^3 pool): the device brute-force (utils.metrics.
+        min_dists) costs an (n, m) matmul + relay roundtrip per 4096-row
+        chunk — fine for metric-sized point sets, hours for label pools,
+        and pool REFRESH (train.pool_refresh_steps) pays it repeatedly.
+        A cKDTree answers the same query exactly in ~1 us/point on host.
+        Falls back to the device path if scipy is unavailable.
+        """
         shape = pts.shape[:-1]
-        return min_dists(pts.reshape(-1, 3), self.gt_points).reshape(shape)
+        flat = np.asarray(pts, np.float64).reshape(-1, 3)
+        try:
+            from scipy.spatial import cKDTree
+        except ImportError:
+            from surfacenet_tpu.utils.metrics import min_dists
+
+            return min_dists(flat.astype(np.float32),
+                             self.gt_points).reshape(shape)
+        if not hasattr(self, "_kdtree"):
+            object.__setattr__(self, "_kdtree", cKDTree(self.gt_points))
+        d, _ = self._kdtree.query(flat, k=1, workers=-1)
+        return d.astype(np.float32).reshape(shape)
 
     def occupancy(self, centers: np.ndarray, s: float) -> np.ndarray:
         return self.surface_distance(centers) <= (s * np.sqrt(3) / 2)
