@@ -133,6 +133,50 @@ def main():
     t_m = timeit(model_only, x_fake, label="model only")
     t_f = timeit(full, origins, label="full step")
 
+    # --- isolated micro-stages on fabricated inputs (attribute the
+    # pool+fuse+compact residual; shapes match the full step's)
+    from surfacenet_tpu.ops.fusion import fuse_pairs
+    from surfacenet_tpu.ops.pallas.affine_pool import ray_vote_affine_pallas
+
+    rngk = jax.random.PRNGKey(2)
+    probs_f = jax.random.uniform(rngk, (NC, NP, D, D, D), jnp.float32)
+    valid_f = jnp.ones((NC, NP, D, D, D), bool)
+    fused_f = jax.random.uniform(rngk, (NC, D, D, D), jnp.float32)
+    Kp = 6
+    pool_views = jnp.tile(jnp.arange(Kp, dtype=jnp.int32)[None], (NC, 1))
+    vmask = jnp.ones((NC, Kp), bool)
+    Ps_pool = Ps[pool_views]
+
+    @jax.jit
+    def fuse_only(p):
+        return jax.vmap(fuse_pairs)(p, pair_w, valid_f)
+
+    @jax.jit
+    def vote_only(f):
+        return ray_vote_affine_pallas(
+            f, origins, 0.5, Ps_pool, vmask, window=2
+        )
+
+    @jax.jit
+    def compact_only(f):
+        occ = f > 0.7
+        flat_occ = occ.reshape(NC, -1)
+        flat_fused = f.reshape(NC, -1)
+        score = (
+            flat_occ.astype(jnp.bfloat16) * jnp.bfloat16(2.0)
+            + flat_fused.astype(jnp.bfloat16)
+        )
+        _, top_idx = jax.lax.top_k(score, 4096)
+        return (
+            jnp.take_along_axis(flat_occ, top_idx, axis=-1),
+            jnp.take_along_axis(flat_fused, top_idx, axis=-1),
+        )
+
+    P("\nisolated micro-stages (fabricated inputs):")
+    timeit(fuse_only, probs_f, label="fuse_pairs")
+    timeit(vote_only, fused_f, label="ray_vote (Pallas, w=2, K=6)")
+    timeit(compact_only, fused_f, label="top_k compact (bf16 key)")
+
     P(f"\nbreakdown over {NC} cubes ({NC * NP} items):")
     P(f"  gather:              {t_g * 1000:7.1f} ms")
     P(f"  model (isolated):    {t_m * 1000:7.1f} ms")

@@ -25,6 +25,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _shifted_slab(slab: jnp.ndarray, oi, oj, D: int) -> jnp.ndarray:
+    """(D, D) -> (D, D): out[i, j] = slab[i-oi, j-oj], NEG outside.
+
+    Circular roll of a (2D, 2D) NEG-padded tile: for |o| <= D the
+    wrapped-around content lands in the padding, so the top-left (D, D)
+    window of the rolled tile is exactly the shifted slab.
+    Lane-dim rotates need >=128 lanes; width pads to a 128 multiple.
+    """
+    L = max(2 * D, 128)
+    top = jnp.concatenate(
+        [slab, jnp.full((D, L - D), NEG, jnp.float32)], axis=1
+    )  # (D, L)
+    buf = jnp.concatenate(
+        [top, jnp.full((D, L), NEG, jnp.float32)], axis=0
+    )  # (2D, L)
+    buf = pltpu.roll(buf, oi, 0)
+    buf = pltpu.roll(buf, oj, 1)
+    return buf[:D, :D]
+
+
 def _affine_pool_kernel(
     slopes_ref,  # (N, 3) f32 scalar prefetch: (sl0, sl1, active) per item
     vol_ref,  # (1, D, D, D) f32 VMEM: dominant (depth) axis FIRST of the
@@ -52,23 +72,7 @@ def _affine_pool_kernel(
         return oi, oj
 
     def shifted(slab, oi, oj):
-        """(D, D) -> (D, D): out[i, j] = slab[i-oi, j-oj], NEG outside.
-
-        Circular roll of a (2D, 2D) NEG-padded tile: for |o| <= D the
-        wrapped-around content lands in the padding, so the top-left (D, D)
-        window of the rolled tile is exactly the shifted slab.
-        """
-        # lane-dim rotates need >=128 lanes; pad width to a 128 multiple.
-        L = max(2 * D, 128)
-        top = jnp.concatenate(
-            [slab, jnp.full((D, L - D), NEG, jnp.float32)], axis=1
-        )  # (D, L)
-        buf = jnp.concatenate(
-            [top, jnp.full((D, L), NEG, jnp.float32)], axis=0
-        )  # (2D, L)
-        buf = pltpu.roll(buf, oi, 0)
-        buf = pltpu.roll(buf, oj, 1)
-        return buf[:D, :D]
+        return _shifted_slab(slab, oi, oj, D)
 
     if window > 0:
         # windowed (cross-cube-consistent) ray max: store the sheared
@@ -230,3 +234,202 @@ def ray_max_mask_affine_pallas(
         ax == 0, masks[0], jnp.where(ax == 1, masks[1], masks[2])
     )
     return sel > 0.5
+
+
+def _affine_vote_kernel(
+    slopes_ref,  # (N, K, 3) f32 scalar prefetch: (sl0, sl1, active)
+    vol_ref,  # (1, D, D, D) f32 VMEM: dominant (depth) axis FIRST
+    votes_ref,  # (1, D, D, D) f32 VMEM out: active-view ray-max vote sum
+    sheared_ref,  # (D, D, D) f32 VMEM scratch (windowed mode; else None)
+    *,
+    D: int,
+    K: int,
+    window: int = 0,
+):
+    """Vote-accumulating variant of _affine_pool_kernel.
+
+    Instead of one mask per (cube, view) item, the grid is one program per
+    CUBE; the K pooling views whose dominant ray axis matches this kernel's
+    permutation (active flag) run back-to-back in VMEM and accumulate their
+    ray-max masks into a single per-cube vote volume.  The per-view masks
+    (and the K-repeated probability volumes the flattened form needs) never
+    touch HBM — kernel I/O drops from Nc*K to Nc blocks per permutation.
+    """
+    item = pl.program_id(0)
+
+    def zero(t, _):
+        votes_ref[0, t] = jnp.zeros((D, D), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, D, zero, 0)
+
+    for k in range(K):
+        sl0 = slopes_ref[item, k, 0]
+        sl1 = slopes_ref[item, k, 1]
+        active = slopes_ref[item, k, 2] > 0.0
+
+        def offs(t, sl0=sl0, sl1=sl1):
+            tf = (t - D // 2).astype(jnp.float32)
+            oi = jnp.round(sl0 * tf).astype(jnp.int32)
+            oj = jnp.round(sl1 * tf).astype(jnp.int32)
+            return oi, oj
+
+        if window > 0:
+
+            @pl.when(active)
+            def _one_view(offs=offs):
+                def store(t, _):
+                    oi, oj = offs(t)
+                    sheared_ref[t] = _shifted_slab(vol_ref[0, t], oi, oj, D)
+                    return 0
+
+                jax.lax.fori_loop(0, D, store, 0)
+
+                def back_w(t, _):
+                    def wmax(kk, M):
+                        tt = t - window + kk
+                        ok = (tt >= 0) & (tt < D)
+                        v = sheared_ref[jnp.clip(tt, 0, D - 1)]
+                        return jnp.maximum(
+                            M, jnp.where(ok, v, jnp.float32(NEG))
+                        )
+
+                    W = jax.lax.fori_loop(
+                        0, 2 * window + 1, wmax,
+                        jnp.full((D, D), NEG, jnp.float32),
+                    )
+                    oi, oj = offs(t)
+                    rm = _shifted_slab(W, -oi, -oj, D)
+                    votes_ref[0, t] = votes_ref[0, t] + (
+                        vol_ref[0, t] >= rm - 1e-6
+                    ).astype(jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(0, D, back_w, 0)
+
+        else:
+
+            @pl.when(active)
+            def _one_view(offs=offs):
+                def acc(t, M):
+                    oi, oj = offs(t)
+                    return jnp.maximum(
+                        M, _shifted_slab(vol_ref[0, t], oi, oj, D)
+                    )
+
+                M = jax.lax.fori_loop(
+                    0, D, acc, jnp.full((D, D), NEG, jnp.float32)
+                )
+
+                def back(t, _):
+                    oi, oj = offs(t)
+                    rm = _shifted_slab(M, -oi, -oj, D)
+                    votes_ref[0, t] = votes_ref[0, t] + (
+                        vol_ref[0, t] >= rm - 1e-6
+                    ).astype(jnp.float32)
+                    return 0
+
+                jax.lax.fori_loop(0, D, back, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("D", "K", "window", "interpret")
+)
+def _vote_one_axis(
+    vols: jnp.ndarray,  # (N, D, D, D) pre-transposed, dominant axis at dim 1
+    slopes: jnp.ndarray,  # (N, K, 3): (sl0, sl1, active)
+    *,
+    D: int,
+    K: int,
+    window: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    N = vols.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, D, D, D), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D, D, D), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((D, D, D), jnp.float32)] if window > 0 else []
+        ),
+    )
+    kern = functools.partial(
+        _affine_vote_kernel, D=D, K=K, window=window
+    )
+    if window <= 0:
+
+        def kern(slopes_ref, vol_ref, votes_ref):  # noqa: F811
+            _affine_vote_kernel(
+                slopes_ref, vol_ref, votes_ref, None, D=D, K=K,
+                window=window,
+            )
+
+    (votes,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N, D, D, D), jnp.float32)],
+        interpret=interpret,
+    )(slopes.astype(jnp.float32), vols.astype(jnp.float32))
+    return votes
+
+
+def ray_vote_affine_pallas(
+    probs: jnp.ndarray,  # (N, D, D, D) per-cube fused probability volumes
+    origins: jnp.ndarray,  # (N, 3)
+    s: float,
+    Ps_pool: jnp.ndarray,  # (N, K, 3, 4) pooling views per cube
+    view_mask: jnp.ndarray,  # (N, K) bool; False = padded slot (no vote)
+    window: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused per-cube ray-max VOTE via the Pallas rotate kernel.
+
+    Semantically equal to summing ``ray_max_mask_affine(probs[i], ...,
+    Ps_pool[i, k])`` over the unmasked views k (the ray_pool vote) — but
+    the (N, K, D^3) per-view masks and the K-repeated probability volumes
+    of the flattened mask API are never materialized in HBM.  Per axis
+    permutation the kernel streams each cube's volume ONCE and loops its
+    matching views in VMEM; HBM traffic per batch drops from O(N*K*D^3)
+    to O(N*D^3) (measured: the pool stage is HBM-bound, ~3-4x at K=6).
+
+    Returns votes (N, D, D, D) int32.
+    """
+    from surfacenet_tpu.ops.ray_pooling import _projection_jacobian
+
+    N, D = probs.shape[0], probs.shape[1]
+    K = Ps_pool.shape[1]
+    centers = origins.astype(jnp.float32) + 0.5 * D * s  # (N, 3)
+
+    A = jax.vmap(
+        jax.vmap(_projection_jacobian, in_axes=(0, None))
+    )(Ps_pool, centers)  # (N, K, 2, 3)
+    n = jnp.cross(A[:, :, 0], A[:, :, 1])  # (N, K, 3) ray directions
+    axis = jnp.argmax(jnp.abs(n), axis=-1)  # (N, K)
+
+    perms = [(1, 2, 0), (0, 2, 1), (0, 1, 2)]  # (o1, o2, dominant)
+    total = None
+    for a, perm in enumerate(perms):
+        order = (perm[2], perm[0], perm[1])
+        vols = jnp.transpose(probs, (0,) + tuple(p + 1 for p in order))
+        na = n[..., perm[2]]
+        safe = jnp.where(jnp.abs(na) < 1e-12, 1e-12, na)
+        slopes = jnp.stack(
+            [
+                jnp.clip(n[..., perm[0]] / safe, -1.0, 1.0),
+                jnp.clip(n[..., perm[1]] / safe, -1.0, 1.0),
+                ((axis == a) & view_mask).astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # (N, K, 3)
+        v = _vote_one_axis(
+            vols, slopes, D=D, K=K, window=window, interpret=interpret
+        )
+        inv = tuple(int(i) + 1 for i in np.argsort(order))
+        vt = jnp.transpose(v, (0,) + inv)
+        total = vt if total is None else total + vt
+    return total.astype(jnp.int32)

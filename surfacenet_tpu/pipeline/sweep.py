@@ -390,22 +390,16 @@ def cube_batch_step(
     n_uniq = jnp.sum(view_mask, axis=1)  # (Nc,) true pooling-view count
 
     if ray_pool_mode == "affine_pallas":
-        # flattened (cube, view) items through the Pallas shear kernel
+        # fused per-cube vote kernel: the K pooling views accumulate their
+        # ray-max masks in VMEM — no (Nc*K, D^3) repeated volumes or
+        # per-view masks in HBM (the r2 pool stage was HBM-bound on those)
         from surfacenet_tpu.ops.pallas.affine_pool import (
-            ray_max_mask_affine_pallas,
+            ray_vote_affine_pallas,
         )
 
-        flat_probs = jnp.repeat(fused, K, axis=0)  # (Nc*K, D,D,D)
-        flat_pool_origins = jnp.repeat(origins, K, axis=0)
-        flat_Ps = Ps[pool_views.reshape(-1)]  # (Nc*K, 3, 4)
-        masks = ray_max_mask_affine_pallas(
-            flat_probs, flat_pool_origins, s, flat_Ps, window=pool_window,
-            interpret=pallas_interpret,
-        ).reshape(Nc, K, D, D, D)
-        votes = jnp.sum(
-            masks.astype(jnp.int32)
-            * view_mask[:, :, None, None, None].astype(jnp.int32),
-            axis=1,
+        votes = ray_vote_affine_pallas(
+            fused, origins, s, Ps[pool_views], view_mask,
+            window=pool_window, interpret=pallas_interpret,
         )
         need = jnp.maximum(
             jnp.ceil(gamma * n_uniq).astype(jnp.int32), 1
@@ -464,6 +458,88 @@ def cube_batch_step(
 
     # Color: validity-weighted average of the strongest pair's raw CVCs.
     best = jnp.argmax(pair_w, axis=-1)  # (Nc,)
+    d3 = D * D * D
+    if compact_output:
+        # Device-side SPARSE compaction: thinned surfaces occupy ~0.3-5% of
+        # a cube, and the device->host link is the sweep bottleneck on
+        # relay-attached TPUs.  Per cube: the top compact_k voxels ranked
+        # occupied-first/highest-prob-first, as one uint8 record
+        # [idx_hi, idx_mid, idx_lo, prob, r, g, b] (7 bytes/voxel; 24-bit
+        # voxel index covers up to 256^3 cubes), plus the true occupied
+        # count.  ~10-30x less transfer than dense volumes; exact unless a
+        # cube has more than compact_k occupied voxels — harvest paths MUST
+        # check the counts and re-fetch truncated cubes dense.
+        K = _resolve_compact_k(compact_k, D)
+        flat_occ = occ.reshape(Nc, -1)
+        flat_fused = fused.reshape(Nc, -1)
+        # bf16 ranking key: occupied scores live in [2, 3], non-occupied in
+        # [0, 1] — the classes stay exactly separated through bf16
+        # rounding, so every occupied voxel still outranks every
+        # non-occupied one (all occupied records are retrieved whenever
+        # count <= K; count > K is truncation and re-fetched dense either
+        # way).  Ties/reorderings within a class don't change which
+        # records carry data: non-occupied selections are zeroed filler.
+        # Halves the top_k sort traffic vs the f32 key.
+        score = (
+            flat_occ.astype(jnp.bfloat16) * jnp.bfloat16(2.0)
+            + flat_fused.astype(jnp.bfloat16)
+        )
+        # exact top_k (measured: approx_max_k is NOT faster at these row
+        # sizes on v5e — 3.7 vs 3.4 ms at (32, 32k) k=4096 — so take the
+        # exact op; harvest paths additionally verify retrieved occupied
+        # records against `counts` and re-fetch short cubes dense).
+        _, top_idx = jax.lax.top_k(score, K)  # (Nc, K)
+        sel_occ = jnp.take_along_axis(flat_occ, top_idx, axis=-1)
+        sel_prob = jnp.take_along_axis(flat_fused, top_idx, axis=-1)
+        # color only for the K selected records: gather the best pair's two
+        # raw CVC voxels straight out of the gather output, never
+        # materializing the (Nc, D^3, 3) color volume (nor the two
+        # best-slot (Nc, D^3, 3) slices) that the dense path builds.
+        if uniq_views is not None:
+            sa_best = jnp.take_along_axis(sa, best[:, None], axis=1)
+            sb_best = jnp.take_along_axis(sb, best[:, None], axis=1)
+            c_src = colors_u.reshape(Nc, Ku * d3, 3)
+            v_src = valids_u.reshape(Nc, Ku * d3)
+            f1 = sa_best * d3 + top_idx  # (Nc, K) flat (slot, voxel) idx
+            f2 = sb_best * d3 + top_idx
+        else:
+            c_src = jnp.concatenate(
+                [ca.reshape(Nc, n_pairs * d3, 3),
+                 cb.reshape(Nc, n_pairs * d3, 3)], axis=1,
+            )
+            v_src = jnp.concatenate(
+                [va.reshape(Nc, n_pairs * d3),
+                 vb.reshape(Nc, n_pairs * d3)], axis=1,
+            )
+            f1 = best[:, None] * d3 + top_idx
+            f2 = (n_pairs + best)[:, None] * d3 + top_idx
+        c1 = jnp.take_along_axis(c_src, f1[..., None], axis=1)
+        c2 = jnp.take_along_axis(c_src, f2[..., None], axis=1)
+        w1 = jnp.take_along_axis(v_src, f1, axis=1).astype(jnp.float32)
+        w2 = jnp.take_along_axis(v_src, f2, axis=1).astype(jnp.float32)
+        sel_color = (
+            c1 * w1[..., None] + c2 * w2[..., None]
+        ) / jnp.maximum(w1 + w2, 1.0)[..., None]
+        prob_u8 = jnp.round(
+            jnp.clip(sel_prob, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        color_u8 = jnp.round(
+            jnp.clip(sel_color, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
+        idx = top_idx.astype(jnp.uint32)
+        rec = jnp.stack(
+            [
+                (idx >> 16).astype(jnp.uint8),
+                ((idx >> 8) & 0xFF).astype(jnp.uint8),
+                (idx & 0xFF).astype(jnp.uint8),
+                jnp.where(sel_occ, prob_u8, 0),  # prob=0 marks padding
+            ],
+            axis=-1,
+        )  # (Nc, K, 4)
+        rec = jnp.concatenate([rec, color_u8], axis=-1)  # (Nc, K, 7)
+        counts = jnp.sum(flat_occ, axis=-1).astype(jnp.int32)
+        return rec, counts
+
     if uniq_views is not None:
         # index the best pair's two view slots out of the unique table
         def _take_best(arr, sl):  # (Nc, Ku, ...) x (Nc,) -> (Nc, ...)
@@ -494,49 +570,6 @@ def cube_batch_step(
             )[..., None]
 
         color = jax.vmap(_color_one)(ca_b, cb_b, va_b, vb_b, best)
-    if compact_output:
-        # Device-side SPARSE compaction: thinned surfaces occupy ~0.3-5% of
-        # a cube, and the device->host link is the sweep bottleneck on
-        # relay-attached TPUs.  Per cube: the top compact_k voxels ranked
-        # occupied-first/highest-prob-first, as one uint8 record
-        # [idx_hi, idx_mid, idx_lo, prob, r, g, b] (7 bytes/voxel; 24-bit
-        # voxel index covers up to 256^3 cubes), plus the true occupied
-        # count.  ~10-30x less transfer than dense volumes; exact unless a
-        # cube has more than compact_k occupied voxels — harvest paths MUST
-        # check the counts and re-fetch truncated cubes dense.
-        K = _resolve_compact_k(compact_k, D)
-        flat_occ = occ.reshape(Nc, -1)
-        flat_fused = fused.reshape(Nc, -1)
-        score = flat_occ.astype(jnp.float32) * 2.0 + flat_fused
-        # exact top_k (measured: approx_max_k is NOT faster at these row
-        # sizes on v5e — 3.7 vs 3.4 ms at (32, 32k) k=4096 — so take the
-        # exact op; harvest paths additionally verify retrieved occupied
-        # records against `counts` and re-fetch short cubes dense).
-        _, top_idx = jax.lax.top_k(score, K)  # (Nc, K)
-        sel_occ = jnp.take_along_axis(flat_occ, top_idx, axis=-1)
-        sel_prob = jnp.take_along_axis(flat_fused, top_idx, axis=-1)
-        sel_color = jnp.take_along_axis(
-            color.reshape(Nc, -1, 3), top_idx[..., None], axis=1
-        )
-        prob_u8 = jnp.round(
-            jnp.clip(sel_prob, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8)
-        color_u8 = jnp.round(
-            jnp.clip(sel_color, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint8)
-        idx = top_idx.astype(jnp.uint32)
-        rec = jnp.stack(
-            [
-                (idx >> 16).astype(jnp.uint8),
-                ((idx >> 8) & 0xFF).astype(jnp.uint8),
-                (idx & 0xFF).astype(jnp.uint8),
-                jnp.where(sel_occ, prob_u8, 0),  # prob=0 marks padding
-            ],
-            axis=-1,
-        )  # (Nc, K, 4)
-        rec = jnp.concatenate([rec, color_u8], axis=-1)  # (Nc, K, 7)
-        counts = jnp.sum(flat_occ, axis=-1).astype(jnp.int32)
-        return rec, counts
     return occ, fused, color
 
 

@@ -222,6 +222,46 @@ def test_affine_pool_pallas_windowed_matches_xla(scene):
             assert agree > 0.999, f"w={window} item {i}: agreement {agree}"
 
 
+def test_affine_vote_pallas_matches_mask_sum(scene):
+    """Fused per-cube vote kernel vs the sum of per-view oracle masks
+    (segment + windowed, with padded view slots masked out)."""
+    from surfacenet_tpu.ops.pallas.affine_pool import ray_vote_affine_pallas
+    from surfacenet_tpu.ops.ray_pooling import ray_max_mask_affine
+
+    rng = np.random.default_rng(2)
+    D, s = 16, 2.0
+    N, K = 4, 3
+    probs = jnp.asarray(rng.uniform(size=(N, D, D, D)).astype(np.float32))
+    origins = jnp.asarray(
+        np.tile(np.array([-16.0, -16.0, -16.0], np.float32), (N, 1))
+    )
+    views = rng.integers(0, scene.Ps.shape[0], (N, K))
+    Ps_pool = jnp.asarray(scene.Ps[views], jnp.float32)
+    view_mask = np.ones((N, K), bool)
+    view_mask[0, 2] = False  # padded slots must not vote
+    view_mask[3, 1] = False
+
+    for window in (0, 2):
+        got = np.asarray(
+            ray_vote_affine_pallas(
+                probs, origins, s, Ps_pool, jnp.asarray(view_mask),
+                window=window, interpret=True,
+            )
+        )
+        ref = np.zeros((N, D, D, D), np.int64)
+        for i in range(N):
+            for k in range(K):
+                if view_mask[i, k]:
+                    ref[i] += np.asarray(
+                        ray_max_mask_affine(
+                            probs[i], origins[i], s, Ps_pool[i, k],
+                            window=window,
+                        )
+                    ).astype(np.int64)
+        agree = (got == ref).mean()
+        assert agree > 0.995, f"w={window}: vote agreement {agree}"
+
+
 def test_cube_batch_step_tpu_native_path_interpret(scene):
     """Integration parity: the FULL fused device step on the TPU-native
     path (Pallas warp gather + affine-Pallas pooling, interpret mode)

@@ -130,3 +130,42 @@ def test_pallas_affine_pool_matches_oracle_on_tpu():
             ray_max_mask_affine(probs[i], origins[i], s, Ps[i])
         )
         assert (got[i] == ref).mean() > 0.99
+
+
+def test_pallas_affine_vote_matches_oracle_on_tpu():
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.data.synthetic import make_sphere_scene
+    from surfacenet_tpu.ops.pallas.affine_pool import ray_vote_affine_pallas
+    from surfacenet_tpu.ops.ray_pooling import ray_max_mask_affine
+
+    D, s = 32, 0.8
+    scene = make_sphere_scene(n_views=8, hw=(600, 800), radius=30.0)
+    rng = np.random.default_rng(3)
+    N, K = 4, 4
+    probs = jnp.asarray(rng.uniform(size=(N, D, D, D)).astype(np.float32))
+    pts = scene.surface_points(N, seed=2)
+    origins = jnp.asarray((pts - D * s / 2).astype(np.float32))
+    views = rng.integers(0, 8, (N, K))
+    Ps_pool = jnp.asarray(scene.Ps[views], jnp.float32)
+    view_mask = np.ones((N, K), bool)
+    view_mask[1, 3] = False
+
+    for window in (0, 2):
+        got = np.asarray(
+            ray_vote_affine_pallas(
+                probs, origins, s, Ps_pool, jnp.asarray(view_mask),
+                window=window,
+            )
+        )
+        ref = np.zeros((N, D, D, D), np.int64)
+        for i in range(N):
+            for k in range(K):
+                if view_mask[i, k]:
+                    ref[i] += np.asarray(
+                        ray_max_mask_affine(
+                            probs[i], origins[i], s, Ps_pool[i, k],
+                            window=window,
+                        )
+                    ).astype(np.int64)
+        assert (got == ref).mean() > 0.99, f"window={window}"
