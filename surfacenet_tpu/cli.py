@@ -490,12 +490,42 @@ def cmd_reconstruct_all(args):
 
 
 def cmd_eval(args):
-    """DTU-protocol-style evaluation: predicted .ply vs GT points .ply."""
-    from surfacenet_tpu.utils.metrics import accuracy_completeness
+    """DTU-style evaluation: predicted .ply vs GT points .ply.
+
+    Default: clamped means over all points (accuracy_completeness — the
+    golden tests' conservative metric).  --protocol dtu switches to the
+    official DTU semantics (dtu_eval): outliers dropped, medians reported,
+    and optional --obs-mask (.npz from ObsMask.save) / --plane a,b,c,d
+    masking of accuracy / completeness respectively.
+    """
+    from surfacenet_tpu.utils.metrics import (
+        ObsMask, accuracy_completeness, dtu_eval,
+    )
     from surfacenet_tpu.utils.ply import read_ply
 
     pred, _ = read_ply(args.pred)
     gt, _ = read_ply(args.gt)
+    if args.protocol == "dtu":
+        mask = ObsMask.load(args.obs_mask) if args.obs_mask else None
+        plane = (
+            [float(x) for x in args.plane.split(",")] if args.plane
+            else None
+        )
+        r = dtu_eval(
+            pred, gt, max_dist=args.max_dist, obs_mask=mask, plane=plane,
+        )
+        print(
+            f"accuracy {r['acc_mean_mm']:.4f}mm "
+            f"(median {r['acc_median_mm']:.4f})  "
+            f"completeness {r['comp_mean_mm']:.4f}mm "
+            f"(median {r['comp_median_mm']:.4f})  "
+            f"overall {r['overall_mm']:.4f}mm  "
+            f"({r['n_pred_eval']}/{r['n_pred_total']} pred, "
+            f"{r['n_gt_eval']}/{r['n_gt_total']} gt scored; outliers "
+            f"dropped: {r['acc_outlier_frac']:.1%} acc, "
+            f"{r['comp_outlier_frac']:.1%} comp)"
+        )
+        return
     acc, comp = accuracy_completeness(pred, gt, max_dist=args.max_dist)
     overall = 0.5 * (acc + comp)
     print(
@@ -674,6 +704,17 @@ def main(argv=None):
     pe.add_argument("--gt", required=True)
     pe.add_argument("--max-dist", type=float, default=20.0,
                     help="distance truncation (DTU protocol), mm")
+    pe.add_argument("--protocol", choices=("clamp", "dtu"),
+                    default="clamp",
+                    help="clamp: clamped means over all points; dtu: "
+                         "official semantics (drop outliers, medians, "
+                         "obs-mask/plane filtering)")
+    pe.add_argument("--obs-mask",
+                    help=".npz observability mask (ObsMask.save / "
+                         "ObsMask.from_cameras); dtu protocol only")
+    pe.add_argument("--plane",
+                    help="a,b,c,d — keep GT points with ax+by+cz+d>0 "
+                         "for completeness; dtu protocol only")
     pe.set_defaults(fn=cmd_eval)
 
     px = sub.add_parser(
