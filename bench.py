@@ -108,6 +108,13 @@ def main():
         n_pool_views=cfg.fusion.n_pool_views,
         ray_pool_mode=cfg.fusion.ray_pool_mode,
         crop_hw=crop_hw,
+        # production parity with run_sweep (r3): windowed cross-cube
+        # pooling + sparse compact harvest.  Pre-r3 benches measured
+        # segment-mode pooling with dense output, which under-measured
+        # the production pool+harvest device cost (the fused vote kernel
+        # cut that stage 78.9 -> 11.0 ms; see ARCHITECTURE.md).
+        pool_window=2,
+        compact_output=True,
     )
     # production parity: run_sweep passes the deduped gather table
     from surfacenet_tpu.ops.view_pairs import dedup_view_slots
@@ -296,6 +303,11 @@ def main():
         "value": round(cubes_per_s, 2),
         "unit": "cubes/s (32^3 voxels, 5 view pairs, full model)",
         "vs_baseline": round(cubes_per_s / baseline_est, 2),
+        "e2e_includes": (
+            "dedup gather + forward + fuse + windowed pool(w=2) + "
+            "compact harvest (production parity; pre-r3 rounds benched "
+            "segment pooling + dense output)"
+        ),
         "conv_gflops_per_item": round(flops_per_item / 1e9, 2),
         "model_fwd_items_per_s": round(fwd_items_per_s, 1),
         "model_fwd_mfu_pct": round(fwd_mfu, 1),

@@ -471,6 +471,29 @@ def cmd_reconstruct_all(args):
                     overall_mm=round(float(acc + comp) / 2, 4),
                 )
                 line += (f", acc {acc:.3f}mm comp {comp:.3f}mm")
+                if getattr(args, "protocol", "clamp") == "dtu":
+                    # official semantics: accuracy masked to the region
+                    # >= 2 camera frusta observe (the structured-light
+                    # analog for camera-only data), outliers dropped,
+                    # medians alongside (utils.metrics.dtu_eval)
+                    from surfacenet_tpu.utils.metrics import (
+                        ObsMask, dtu_eval,
+                    )
+
+                    mask = ObsMask.from_cameras(
+                        scan.Ps, scan.images.shape[1:3],
+                        scan.bbox_min, scan.bbox_max,
+                        res_mm=4.0 * cfg.voxel.voxel_size_mm,
+                    )
+                    r = dtu_eval(pts, gt, max_dist=20.0, obs_mask=mask)
+                    report[name]["dtu"] = {
+                        k: (round(v, 4) if isinstance(v, float) else v)
+                        for k, v in r.items()
+                    }
+                    line += (
+                        f" | dtu acc {r['acc_mean_mm']:.3f} "
+                        f"comp {r['comp_mean_mm']:.3f}"
+                    )
             elif not os.path.exists(gt_ply):
                 print(f"{name}: no GT at {gt_ply}; skipping metrics")
             else:
@@ -485,6 +508,15 @@ def cmd_reconstruct_all(args):
             for k in ("acc_mm", "comp_mm", "overall_mm")
         }
         print(f"split mean: {report['_mean']}")
+        dtu_scored = [r["dtu"] for r in scored if "dtu" in r]
+        if dtu_scored:
+            report["_mean_dtu"] = {
+                k: round(
+                    sum(d[k] for d in dtu_scored) / len(dtu_scored), 4
+                )
+                for k in ("acc_mean_mm", "comp_mean_mm", "overall_mm")
+            }
+            print(f"split mean (dtu protocol): {report['_mean_dtu']}")
     with open(os.path.join(args.out_dir, "report.json"), "w") as f:
         _json.dump(report, f, indent=2)
 
@@ -686,6 +718,11 @@ def main(argv=None):
     pa.add_argument("--min-component", type=int, default=None,
                     help="denoise: drop merged-voxel clusters smaller than "
                          "this (default: fusion.min_component from config)")
+    pa.add_argument("--protocol", choices=("clamp", "dtu"),
+                    default="clamp",
+                    help="dtu: add official-protocol metrics per scan "
+                         "(camera-derived obs mask, dropped outliers, "
+                         "medians) alongside the clamped defaults")
     pa.add_argument("--downsample", type=int, default=1)
     pa.add_argument("--preset")
     pa.add_argument("--config")
