@@ -199,6 +199,71 @@ def test_compact_truncation_refetches_dense(sphere_scene):
     np.testing.assert_allclose(ref_sorted, small_sorted, atol=1e-5)
 
 
+def test_compact_color_matches_dense_path(sphere_scene):
+    """Compact records carry the same colors as the dense path.
+
+    r3 restructure: compact mode gathers the best pair's raw CVC voxels
+    per selected record instead of materializing the full (Nc, D^3, 3)
+    color volume — occ/fused/color must stay identical at occupied
+    voxels (color within u8 quantization).
+    """
+    import jax.numpy as jnp
+
+    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.pipeline.sweep import (
+        cube_batch_step, unpack_compact,
+    )
+
+    cfg = _config()
+    D, s = cfg.voxel.cube_size, cfg.voxel.voxel_size_mm
+    hw = sphere_scene.images.shape[1:3]
+    origins = np.array(
+        [[-16.0, -16.0, -16.0], [0.0, -16.0, 0.0], [-16.0, 0.0, 0.0]],
+        np.float32,
+    )
+    pair_idx, pair_w = select_pairs_geometric(
+        sphere_scene.Ps, origins, 3, hw, extent_mm=D * s
+    )
+    from surfacenet_tpu.ops.view_pairs import dedup_view_slots
+
+    uniq, slots = dedup_view_slots(pair_idx)
+    for use_dedup in (True, False):
+        args = (
+            jnp.asarray(sphere_scene.images, jnp.float32),
+            jnp.asarray(sphere_scene.Ps, jnp.float32),
+            jnp.asarray(origins),
+            jnp.asarray(pair_idx),
+            jnp.asarray(pair_w),
+            None,
+            jnp.asarray(uniq) if use_dedup else None,
+            jnp.asarray(slots) if use_dedup else None,
+        )
+        kw = dict(
+            D=D, s=s, n_pairs=3, tau=0.25, gamma=0.6, adaptive=False,
+            center_colors=True, predict=photoconsistency_predictor,
+            n_pool_views=4, ray_pool_mode="affine", pool_window=2,
+        )
+        occ_d, fused_d, color_d = cube_batch_step(
+            *args, compact_output=False, **kw
+        )
+        rec, counts = cube_batch_step(*args, compact_output=True, **kw)
+        occ_c, fused_c, color_c = unpack_compact(
+            np.asarray(rec), np.asarray(counts), D
+        )
+        occ_d = np.asarray(occ_d)
+        np.testing.assert_array_equal(occ_c, occ_d)
+        m = occ_d
+        assert m.sum() > 50, "test scene produced too few occupied voxels"
+        np.testing.assert_allclose(  # prob quantized to u8 in records
+            fused_c[m], np.asarray(fused_d)[m], atol=1.0 / 255.0 + 1e-6
+        )
+        np.testing.assert_allclose(
+            color_c[m], np.clip(np.asarray(color_d)[m], 0.0, 1.0),
+            atol=1.0 / 255.0 + 1e-6,
+            err_msg=f"dedup={use_dedup}",
+        )
+
+
 def test_compact_k_auto_scales_with_cube_size():
     from surfacenet_tpu.pipeline.sweep import _resolve_compact_k
 
