@@ -291,6 +291,15 @@ def cube_batch_step(
     NB = Nc * n_pairs
     flat_pairs = pair_idx.reshape(NB, 2)
     flat_origins = jnp.repeat(origins, n_pairs, axis=0)
+    # model-input dtype: predictors stamped bfloat16 (make_predictor) get
+    # their (B, D^3, 6) batch assembled in bf16 — bit-identical (the model
+    # casts at entry; astype commutes with take/concat) at half the HBM
+    # traffic.  Oracle/f32 predictors keep f32.
+    x_dt = (
+        jnp.bfloat16
+        if getattr(predict, "in_dtype", "float32") == "bfloat16"
+        else jnp.float32
+    )
 
     def _gather(views, view_origins):
         if use_pallas:
@@ -314,9 +323,11 @@ def cube_batch_step(
             uv.reshape(-1), jnp.repeat(origins, Ku, axis=0)
         )
         if center_colors:
-            xs_u = center_cvc(colors_u, valids_u)
+            xs_u = center_cvc(colors_u, valids_u).astype(x_dt)
         else:
-            xs_u = jnp.where(valids_u[..., None], colors_u, 0.0)
+            xs_u = jnp.where(
+                valids_u[..., None], colors_u, 0.0
+            ).astype(x_dt)
         colors_u = colors_u.reshape(Nc, Ku, D, D, D, 3)
         valids_u = valids_u.reshape(Nc, Ku, D, D, D)
         xs_u = xs_u.reshape(Nc, Ku, D, D, D, 3)
@@ -343,11 +354,11 @@ def cube_batch_step(
         va, vb = valids[:NB], valids[NB:]
 
         if center_colors:
-            xa = center_cvc(ca, va)
-            xb = center_cvc(cb, vb)
+            xa = center_cvc(ca, va).astype(x_dt)
+            xb = center_cvc(cb, vb).astype(x_dt)
         else:
-            xa = jnp.where(va[..., None], ca, 0.0)
-            xb = jnp.where(vb[..., None], cb, 0.0)
+            xa = jnp.where(va[..., None], ca, 0.0).astype(x_dt)
+            xb = jnp.where(vb[..., None], cb, 0.0).astype(x_dt)
         x = jnp.concatenate([xa, xb], axis=-1)  # (NB, D,D,D, 6)
         valid = (va & vb).reshape(Nc, n_pairs, D, D, D)
 
