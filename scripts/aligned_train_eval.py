@@ -14,7 +14,13 @@ removes that ceiling.  This script proves the lever instead of citing it:
 Forward-MFU for the aligned model is measured separately by bench.py
 (model_fwd_mfu_pct_aligned).
 
+Also used for the round-3 FAST lane-aligned candidates (thin full-res
+block-1, aligned deep blocks — scripts/fast_model_bench.py): pass a third
+arg naming the model; weights ship to weights/golden_{scene}_{model}_30k
+and the grid to results/quality_r03_{model}.json.
+
 Usage: python scripts/aligned_train_eval.py [n_steps] [sphere|tori|both]
+           [aligned|fastA|fastE|fastF]
 """
 
 import os, sys
@@ -41,10 +47,27 @@ P = functools.partial(print, flush=True)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def base_config(n_steps: int, on_tpu: bool) -> Config:
+MODELS = {
+    "aligned": ModelConfig.mxu_aligned,
+    # FLOP-lean lane-aligned candidates (measured forward throughput in
+    # results/fast_model_bench_r03.json): one conv at full 32^3 resolution,
+    # deep blocks at 128/256 lanes.
+    "fastA": lambda: ModelConfig(
+        block_channels=(128, 128, 256, 256), convs_per_block=(1, 2, 2, 2)
+    ),
+    "fastE": lambda: ModelConfig(
+        block_channels=(128, 128, 128, 256), convs_per_block=(1, 2, 2, 2)
+    ),
+    "fastF": lambda: ModelConfig(
+        block_channels=(128, 128, 256, 256), convs_per_block=(1, 1, 2, 3)
+    ),
+}
+
+
+def base_config(n_steps: int, on_tpu: bool, model: str = "aligned") -> Config:
     return Config(
         voxel=VoxelConfig(voxel_size_mm=0.5, cube_size=32, overlap=8),
-        model=ModelConfig.mxu_aligned(),
+        model=MODELS[model](),
         sweep=SweepConfig(cube_batch=32, use_pallas_gather=on_tpu),
         train=TrainConfig(
             batch_size=16, lr=3e-3, seed=0, n_steps=n_steps,
@@ -112,9 +135,9 @@ def eval_grid(scene, cfg_base: Config, variables, on_tpu: bool):
     return rows, best
 
 
-def main(n_steps: int = 30000, which: str = "both"):
+def main(n_steps: int = 30000, which: str = "both", model: str = "aligned"):
     on_tpu = jax.default_backend() != "cpu"
-    P(f"backend={jax.default_backend()} n_steps={n_steps}")
+    P(f"backend={jax.default_backend()} n_steps={n_steps} model={model}")
     scenes = {}
     # Focals match the paper-width rows in results/quality_r02.json
     # (sphere 200 wide framing, tori 800) so the aligned-vs-paper-width
@@ -127,20 +150,22 @@ def main(n_steps: int = 30000, which: str = "both"):
         scenes["tori"] = make_tori_scene(n_views=12, hw=(600, 800),
                                          focal=800.0)
 
-    out = {"model": "mxu_aligned(128/128/256/256, 2 convs/block)",
+    mc = MODELS[model]()
+    out = {"model": f"{model}: ch={mc.block_channels} "
+                    f"convs={mc.convs_per_block}",
            "recipe": f"{n_steps} steps, batch 16, lr 3e-3 cosine, s=0.5mm",
            "scenes": {}}
     for name, scene in scenes.items():
-        cfg = base_config(n_steps, on_tpu)
+        cfg = base_config(n_steps, on_tpu, model)
         t0 = time.perf_counter()
         state, log = train_surfacenet(
-            scene, cfg, checkpoint_dir=f"/tmp/aligned_{name}_ckpt",
+            scene, cfg, checkpoint_dir=f"/tmp/{model}_{name}_ckpt",
         )
         dt = time.perf_counter() - t0
         P(f"[{name}] trained {n_steps} steps in {dt:.0f}s "
           f"({n_steps/dt:.1f} steps/s); loss {log.losses[0]:.4f} -> "
           f"{log.losses[-1]:.4f}")
-        wdir = ship_weights(f"golden_{name}_aligned_{n_steps//1000}k", state)
+        wdir = ship_weights(f"golden_{name}_{model}_{n_steps//1000}k", state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         rows, best = eval_grid(scene, cfg, variables, on_tpu)
         out["scenes"][name] = {
@@ -150,7 +175,7 @@ def main(n_steps: int = 30000, which: str = "both"):
             "weights": os.path.relpath(wdir, REPO),
             "grid": rows, "best": best,
         }
-        path = os.path.join(REPO, "results", "quality_r03_aligned.json")
+        path = os.path.join(REPO, "results", f"quality_r03_{model}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         P(f"[{name}] best: {best}")
@@ -159,4 +184,5 @@ def main(n_steps: int = 30000, which: str = "both"):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 30000,
-         sys.argv[2] if len(sys.argv) > 2 else "both")
+         sys.argv[2] if len(sys.argv) > 2 else "both",
+         sys.argv[3] if len(sys.argv) > 3 else "aligned")
