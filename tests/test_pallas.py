@@ -85,6 +85,37 @@ def test_warp_gather_bf16_default_tolerance(scene):
         assert err.max() < 1e-2, f"item {b}: bf16 err {err.max()}"
 
 
+def test_warp_gather_int8_tolerance(scene):
+    """int8 crops + 7-bit hat weights (2x MXU rate on v5e) must stay in
+    the same ~1%-of-full-scale error class as bf16 vs the f32 oracle."""
+    D, s = 8, 4.0
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    origins = jnp.asarray(
+        np.array([[-16.0, -16.0, -16.0], [-8.0, 0.0, 0.0]], np.float32)
+    )
+    views = jnp.asarray(np.array([0, 2], np.int32))
+
+    colors, valid = warp_gather_pallas(
+        images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=128,
+        interpret=True, in_dtype=jnp.int8,
+    )
+
+    from surfacenet_tpu.ops.cvc import build_cvc
+
+    for b in range(2):
+        ref, ref_valid = build_cvc(
+            images[views[b]], Ps[views[b]], origins[b], D, s,
+            center_colors=False,
+        )
+        gv = np.asarray(valid[b])
+        rv = np.asarray(ref_valid)
+        assert (gv == rv).mean() > 0.999
+        both = gv & rv
+        err = np.abs(np.asarray(colors[b]) - np.asarray(ref))[both]
+        assert err.max() < 1.5e-2, f"item {b}: int8 err {err.max()}"
+
+
 def test_build_cvc_batch_pallas_matches_oracle(scene):
     D, s = 8, 4.0
     images = jnp.asarray(scene.images)
