@@ -156,6 +156,11 @@ class SweepConfig:
     # cube size (max(4096, 4*D^2)).  Harvest re-fetches dense when a cube's
     # true occupied count exceeds this, so no setting loses voxels.
     compact_k: int = 0
+    # Pallas-gather crop/matmul dtype: "bfloat16" (default), "int8" (7-bit
+    # crops + hat weights on the 2x-rate int8 MXU; same ~1%-of-full-scale
+    # error class as bf16 on 8-bit image sources), or "float32"
+    # (oracle-exact).  Ignored by the XLA gather path.
+    gather_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -301,6 +301,7 @@ def run_sweep_sharded(
                 adaptive_target_density=cfg.fusion.adaptive_target_density,
                 compact_output=compact,
                 compact_k=cfg.sweep.compact_k,
+                gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
             )
 
@@ -363,6 +364,7 @@ def run_sweep_sharded(
                 adaptive_target_density=cfg.fusion.adaptive_target_density,
                 compact_output=False,
                 compact_k=cfg.sweep.compact_k,
+                gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
             )
             outs.append(tuple(np.asarray(x) for x in out))

@@ -259,6 +259,8 @@ def cube_batch_step(
     compact_output: bool = False,
     compact_k: int = 0,  # records/cube for compact_output; <=0 = auto by D
     pool_window: int = 0,  # >0: windowed ray max (cross-cube-consistent)
+    gather_dtype: str = "bfloat16",  # Pallas-gather crop/matmul dtype
+    #   ("bfloat16" | "int8" | "float32"; SweepConfig.gather_dtype)
     pallas_interpret: bool = False,  # run Pallas kernels in interpret mode
     #   (CPU integration tests of the TPU-native path; no effect on XLA
     #   fallbacks)
@@ -306,6 +308,11 @@ def cube_batch_step(
             return warp_gather_tiled(
                 images, Ps, views.astype(jnp.int32), view_origins, D=D, s=s,
                 CH=crop_hw[0], CW=crop_hw[1], interpret=pallas_interpret,
+                in_dtype={
+                    "bfloat16": jnp.bfloat16,
+                    "int8": jnp.int8,
+                    "float32": jnp.float32,
+                }[gather_dtype],
             )
         return build_cvc_views(images, Ps, views, view_origins, D, s)
 
@@ -771,6 +778,7 @@ def run_sweep(
             adaptive_target_density=cfg.fusion.adaptive_target_density,
             compact_output=compact,
             compact_k=cfg.sweep.compact_k,
+                gather_dtype=cfg.sweep.gather_dtype,
             pool_window=pool_window,
         )
 
@@ -818,6 +826,7 @@ def run_sweep(
                 adaptive_target_density=cfg.fusion.adaptive_target_density,
                 compact_output=False,
                 compact_k=cfg.sweep.compact_k,
+                gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
             )
             outs.append(tuple(np.asarray(x) for x in out))
