@@ -229,7 +229,8 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "D", "s", "n_pairs", "adaptive", "center_colors",
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
-        "compact_output", "compact_k", "pool_window", "pallas_interpret",
+        "compact_output", "compact_k", "pool_window", "gather_dtype",
+        "pallas_interpret",
     ),
 )
 def cube_batch_step(
