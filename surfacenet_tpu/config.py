@@ -88,6 +88,25 @@ class ModelConfig:
         )
 
     @staticmethod
+    def fast() -> "ModelConfig":
+        """FLOP-lean lane-aligned widths: the throughput operating point.
+
+        Keeps every block on a 128-lane multiple (100% MXU lane ceiling,
+        like ``mxu_aligned``) but spends the FLOPs where resolution is
+        cheap: ONE conv at full 32^3 resolution, deep blocks at 128/256
+        lanes.  12.4 GF/item vs the paper model's 15.5 and the aligned
+        model's 44.1; measured forward 6203 items/s on v5e vs paper's
+        4382 (1.42x) — results/fast_model_bench_r03.json ("fastE").
+        Quality qualified with the 30k-step golden recipe in
+        results/quality_r03_fastE.json.
+        """
+        return ModelConfig(
+            block_channels=(128, 128, 128, 256),
+            convs_per_block=(1, 2, 2, 2),
+            side_channels=16,
+        )
+
+    @staticmethod
     def tiny() -> "ModelConfig":
         """Small config for tests / CPU (fast compile, same topology)."""
         return ModelConfig(
@@ -324,4 +343,10 @@ def baseline_config(name: str) -> Config:
                 batch_size=16,
             ),
         )
+    if name == "golden_fast":  # r3: the throughput operating point —
+        # lane-aligned but FLOP-lean (ModelConfig.fast); 1.42x the paper
+        # model's forward items/s at 100% lane ceiling
+        # (results/fast_model_bench_r03.json, quality_r03_fastE.json)
+        c = baseline_config("golden_aligned")
+        return c.replace(model=ModelConfig.fast())
     raise ValueError(f"unknown baseline config: {name}")

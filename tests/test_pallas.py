@@ -338,6 +338,17 @@ def test_cube_batch_step_tpu_native_path_interpret(scene):
     assert np.abs(fused_x - fused_p).max() < 0.05
     assert (occ_x == occ_p).mean() > 0.995
 
+    # gather_dtype plumbs through the jitted step as a STATIC arg (it is a
+    # string; regression for the r3 int8 wiring) and the int8 path stays
+    # in the bf16 error class at the step level.
+    occ_i, fused_i, _ = cube_batch_step(
+        *args, use_pallas=True, ray_pool_mode="affine_pallas",
+        pallas_interpret=True, crop_hw=(96, 128), gather_dtype="int8",
+        **kw
+    )
+    assert np.abs(fused_x - np.asarray(fused_i)).max() < 0.06
+    assert (occ_x == np.asarray(occ_i)).mean() > 0.99
+
 
 def test_warp_gather_item_chunking(scene, monkeypatch):
     """Batches beyond GATHER_ITEM_CHUNK split into multiple kernel calls
