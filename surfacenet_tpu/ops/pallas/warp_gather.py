@@ -230,8 +230,13 @@ def warp_gather_pallas(
     native rate; max color error vs the f32 oracle is ~1% of full scale
     (the sources are 8-bit images).  ``jnp.int8`` quantizes the [0,1]
     crops and the hat weights to 7 bits and contracts int8 x int8 -> int32
-    at 2x the bf16 MXU rate (v5e), same ~1% error class.  Pass
-    ``jnp.float32`` for oracle-exact sampling.
+    at 2x the bf16 MXU rate (v5e), same ~1% error class.  Measured on a
+    v5e chip the int8 path is a WASH (15.5 ms vs bf16's 15.3 ms at
+    B=224/crop 128x256 — results/gather_dtype_r03.json): the kernel is
+    crop-DMA bound, not MXU bound, and int8 halves matmul time the
+    pipeline already hides while adding a quantize pass.  Kept as an
+    opt-in for geometries with larger crops where the matmul dominates.
+    Pass ``jnp.float32`` for oracle-exact sampling.
 
     Batches larger than ``GATHER_ITEM_CHUNK`` items are dispatched as
     multiple kernel calls to stay inside the SMEM scalar-prefetch budget
