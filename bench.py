@@ -207,6 +207,37 @@ def main():
 
         print(f"bench: aligned point failed: {e!r}", file=sys.stderr)
 
+    # --- fast lane-aligned operating point (ModelConfig.fast, "fastE"):
+    # 100% MXU lane ceiling at 12.4 GF/item — the throughput flagship.
+    # Same full production step (gather + forward + fuse + pool + compact),
+    # only the model differs.  Quality qualified by the 30k-step golden
+    # recipe (results/quality_r03_fastE.json); forward shootout in
+    # results/fast_model_bench_r03.json.
+    cubes_per_s_fast = None
+    try:
+        from surfacenet_tpu.config import ModelConfig as _MC
+
+        fcfg = _MC.fast()
+        fmodel, fvars = init_surfacenet(fcfg, jax.random.PRNGKey(0), D=D)
+        fpredict = make_predictor(fmodel, fvars, fcfg)
+        kwf = dict(kw, predict=fpredict)
+        out = cube_batch_step(*args, **kwf)
+        float(jnp.sum(out[1]))
+        best_f = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sums = [
+                jnp.sum(cube_batch_step(*args, **kwf)[1])
+                for _ in range(n_iters)
+            ]
+            float(sum(sums))
+            best_f = min(best_f, time.perf_counter() - t0)
+        cubes_per_s_fast = BATCH * n_iters / best_f
+    except Exception as e:  # fast line must not take down the headline
+        import sys
+
+        print(f"bench: fast point failed: {e!r}", file=sys.stderr)
+
     # --- 64^3 operating point (BASELINE config 2: train 32^3, apply 64^3)
     cubes_per_s_64 = None
     try:
@@ -317,6 +348,8 @@ def main():
     }
     if fwd_mfu_aligned is not None:
         rec["model_fwd_mfu_pct_aligned"] = round(fwd_mfu_aligned, 1)
+    if cubes_per_s_fast is not None:
+        rec["cubes_per_s_fast"] = round(cubes_per_s_fast, 2)
     if cubes_per_s_64 is not None:
         rec["cubes_per_s_64"] = round(cubes_per_s_64, 2)
     if train_steps_per_s is not None:
