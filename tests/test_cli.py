@@ -62,7 +62,7 @@ def test_baseline_preset_files_load():
     from surfacenet_tpu.config import Config, baseline_config
 
     files = sorted(glob.glob("configs/*.json"))
-    assert len(files) == 6
+    assert files, "no shipped configs found"
     for f in files:
         name = os.path.splitext(os.path.basename(f))[0]
         cfg = Config.from_json(open(f).read())
