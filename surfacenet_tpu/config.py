@@ -180,6 +180,15 @@ class SweepConfig:
     # error class as bf16 on 8-bit image sources), or "float32"
     # (oracle-exact).  Ignored by the XLA gather path.
     gather_dtype: str = "bfloat16"
+    # Per-point-chunk crop sub-windows in the Pallas gather (r4): each
+    # kernel grid step's points are a thin voxel slab whose projected
+    # footprint is a fraction of the cube's; restricting the interpolation
+    # to a slab-sized window cuts the kernel's per-point MXU+VPU cost by
+    # the area ratio (measured on v5e: see scripts/gather_chunk_bench.py
+    # + ARCHITECTURE.md stage table).  At D>32 it also replaces the
+    # 8-dispatch sub-cube tiling with ONE dispatch.  Sub-window sizes come
+    # from auto_chunk_hw per scene.  Ignored by the XLA gather path.
+    gather_chunk_windows: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

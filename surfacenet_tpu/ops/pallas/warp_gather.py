@@ -65,6 +65,8 @@ def _warp_kernel(
     PC: int,
     H: int,
     W: int,
+    SH: int = 0,
+    SW: int = 0,
 ):
     item = pl.program_id(0)
     ci = pl.program_id(1)  # point-chunk index (grid dim 1)
@@ -76,6 +78,71 @@ def _warp_kernel(
         [Pm_ref[item, r * 4 + c] for c in range(4)] for r in range(3)
     ]
     origin = [origin_ref[item, a] for a in range(3)]
+
+    # Chunk sub-window (the r4 gather attack): the PC points of one grid
+    # step are a contiguous voxel SLAB of the cube, whose projected
+    # footprint is far smaller than the whole cube's.  The interpolation
+    # cost per point is the crop AREA (the hat matmul contracts over crop
+    # rows; the VPU reduce runs over crop cols), so restricting each chunk
+    # to its own (SH, SW) sub-window of the item crop cuts the kernel's
+    # MXU+VPU work by the area ratio.  The sub-window origin is computed
+    # here from the slab's 8 projected corners — pure scalar SMEM math —
+    # and the slice is a VMEM pl.ds; no extra DMA.  SH/SW are sized
+    # host-side for the worst slab footprint (auto_chunk_hw).
+    chunked = (0 < SH < CH) or (0 < SW < CW)
+    sh = SH if (chunked and SH > 0) else CH
+    sw = SW if (chunked and SW > 0) else CW
+    if chunked:
+        dd = D * D
+        q0s = ci * PC
+        i0 = q0s // dd
+        i1 = (q0s + PC - 1) // dd
+        in_one_slab = i1 == i0
+        j0 = jnp.where(in_one_slab, (q0s // D) % D, 0)
+        j1 = jnp.where(in_one_slab, ((q0s + PC - 1) // D) % D + 1, D)
+        x0 = origin[0] + s * i0.astype(jnp.float32)
+        x1 = origin[0] + s * (i1 + 1).astype(jnp.float32)
+        y0 = origin[1] + s * j0.astype(jnp.float32)
+        y1 = origin[1] + s * j1.astype(jnp.float32)
+        z0 = origin[2]
+        z1 = origin[2] + s * D
+        big = jnp.float32(1e9)
+        umin = big
+        vmin = big
+        for cx in (x0, x1):
+            for cy in (y0, y1):
+                for cz in (z0, z1):
+                    nu = (
+                        Pm[0][0] * cx + Pm[0][1] * cy + Pm[0][2] * cz
+                        + Pm[0][3]
+                    )
+                    nv = (
+                        Pm[1][0] * cx + Pm[1][1] * cy + Pm[1][2] * cz
+                        + Pm[1][3]
+                    )
+                    de = (
+                        Pm[2][0] * cx + Pm[2][1] * cy + Pm[2][2] * cz
+                        + Pm[2][3]
+                    )
+                    front = de > 1e-6
+                    inv_c = 1.0 / jnp.where(front, de, 1.0)
+                    umin = jnp.minimum(
+                        umin, jnp.where(front, nu * inv_c, big)
+                    )
+                    vmin = jnp.minimum(
+                        vmin, jnp.where(front, nv * inv_c, big)
+                    )
+        # window start: floor(min)-1 covers the bilinear lower neighbor;
+        # clamp into the item crop so the slice stays in bounds.
+        du = jnp.clip(
+            jnp.floor(umin).astype(jnp.int32) - 1 - u0, 0, CW - sw
+        )
+        dv = jnp.clip(
+            jnp.floor(vmin).astype(jnp.int32) - 1 - v0, 0, CH - sh
+        )
+    else:
+        du = jnp.int32(0)
+        dv = jnp.int32(0)
 
     if True:
         q0 = ci * PC
@@ -103,22 +170,22 @@ def _warp_kernel(
         in_img = (
             (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
         )
-        u_loc = u - u0.astype(jnp.float32)
-        v_loc = v - v0.astype(jnp.float32)
+        u_loc = u - (u0 + du).astype(jnp.float32)
+        v_loc = v - (v0 + dv).astype(jnp.float32)
         in_crop = (
             (u_loc >= 0.0)
-            & (u_loc <= CW - 1.0)
+            & (u_loc <= sw - 1.0)
             & (v_loc >= 0.0)
-            & (v_loc <= CH - 1.0)
+            & (v_loc <= sh - 1.0)
         )
         ok = (infront & in_img & in_crop).astype(jnp.float32)  # (1, PC)
 
-        # hat weights: (CH, PC) and (CW, PC).  iota must be integer on TPU.
-        hrow = jax.lax.broadcasted_iota(jnp.int32, (CH, PC), 0).astype(
+        # hat weights: (sh, PC) and (sw, PC).  iota must be integer on TPU.
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (sh, PC), 0).astype(
             jnp.float32
         )
         hatV = jnp.maximum(0.0, 1.0 - jnp.abs(v_loc - hrow))
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (CW, PC), 0).astype(
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (sw, PC), 0).astype(
             jnp.float32
         )
         hatW = jnp.maximum(0.0, 1.0 - jnp.abs(u_loc - wrow))
@@ -143,7 +210,10 @@ def _warp_kernel(
         else:
             hatVc = hatV.astype(dt)
         for c in range(3):
-            plane = crop_ref[0, c]  # (CH, CW)
+            if chunked:
+                plane = crop_ref[0, c, pl.ds(dv, sh), pl.ds(du, sw)]
+            else:
+                plane = crop_ref[0, c]  # (CH, CW)
             T = jax.lax.dot_general(
                 plane,
                 hatVc,
@@ -217,8 +287,14 @@ def warp_gather_pallas(
     PC: int = 1024,
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
+    chunk_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas CVC gather for a batch of (cube, view) work items.
+
+    ``chunk_hw`` = (SH, SW) > 0 enables per-point-chunk sub-windows of the
+    item crop (see _warp_kernel): the kernel's per-point cost drops from
+    CH*CW to SH*SW.  Size with ``auto_chunk_hw`` for the scene's worst
+    slab footprint; (0, 0) disables (full-crop behavior).
 
     Returns (colors (B, D, D, D, 3) f32, valid (B, D, D, D) bool).  Voxels
     whose projection falls outside the crop window are invalid (callers pick
@@ -246,7 +322,7 @@ def warp_gather_pallas(
     if B <= GATHER_ITEM_CHUNK:
         return _warp_gather_chunk(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
-            interpret=interpret, in_dtype=in_dtype,
+            interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
         )
     cs, vs = [], []
     for b0 in range(0, B, GATHER_ITEM_CHUNK):
@@ -255,7 +331,7 @@ def warp_gather_pallas(
             view_idx[b0 : b0 + GATHER_ITEM_CHUNK],
             origins[b0 : b0 + GATHER_ITEM_CHUNK],
             D=D, s=s, CH=CH, CW=CW, PC=PC,
-            interpret=interpret, in_dtype=in_dtype,
+            interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
         )
         cs.append(c)
         vs.append(v)
@@ -264,7 +340,9 @@ def warp_gather_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "s", "CH", "CW", "PC", "interpret", "in_dtype"),
+    static_argnames=(
+        "D", "s", "CH", "CW", "PC", "interpret", "in_dtype", "chunk_hw",
+    ),
 )
 def _warp_gather_chunk(
     images: jnp.ndarray,  # (V, H, W, 3) f32
@@ -279,6 +357,7 @@ def _warp_gather_chunk(
     PC: int,
     interpret: bool,
     in_dtype,
+    chunk_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     V, H, W, _ = images.shape
     images_planar = jnp.moveaxis(images, -1, 1)  # (V, 3, H, W)
@@ -322,8 +401,11 @@ def _warp_gather_chunk(
         ],
     )
 
+    SH = min(chunk_hw[0], CH) if chunk_hw[0] > 0 else 0
+    SW = min(chunk_hw[1], CW) if chunk_hw[1] > 0 else 0
     kernel = functools.partial(
-        _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
+        _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W,
+        SH=SH, SW=SW,
     )
     (out,) = pl.pallas_call(
         kernel,
@@ -376,6 +458,7 @@ def warp_gather_tiled(
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
     tile_d: int = 0,
+    chunk_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``warp_gather_pallas`` with sub-cube tiling for large D (see
     ``gather_tile_d``).  One kernel program (at the tile size) is traced
@@ -384,9 +467,11 @@ def warp_gather_tiled(
 
     tile_d > 0 overrides the default tile choice: finer tiles shrink the
     crop footprint (the kernel's per-point matmul cost is CH*CW), at the
-    price of (D/tile_d)^3 kernel dispatches.  No automatic per-scene
-    chooser exists: callers and benches (scripts/gather_tile_bench.py)
-    pick tile_d manually; the pipeline uses the ``gather_tile_d`` default.
+    price of (D/tile_d)^3 kernel dispatches.  With ``chunk_hw`` set
+    (the r4 per-chunk sub-window path) the per-point cost is SH*SW
+    regardless of the cube's footprint, so tiling is unnecessary —
+    callers should pass tile_d=D (one dispatch) and size chunk_hw via
+    ``auto_chunk_hw``; the sweep does this automatically.
     CH/CW must be sized for the tile (auto_crop_hw at tile_d).
     """
     td = tile_d if tile_d > 0 else gather_tile_d(D)
@@ -395,7 +480,7 @@ def warp_gather_tiled(
     if td == D:
         return warp_gather_pallas(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
-            interpret=interpret, in_dtype=in_dtype,
+            interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
         )
     t = D // td
     B = view_idx.shape[0]
@@ -409,7 +494,7 @@ def warp_gather_tiled(
                 c, v = warp_gather_pallas(
                     images, Ps, view_idx, origins + off, D=td, s=s,
                     CH=CH, CW=CW, PC=PC, interpret=interpret,
-                    in_dtype=in_dtype,
+                    in_dtype=in_dtype, chunk_hw=chunk_hw,
                 )
                 cs.append(c)
                 vs.append(v)
@@ -481,6 +566,83 @@ def auto_crop_hw(
     return CH, CW
 
 
+def chunk_voxel_extent(D: int, PC: int) -> Tuple[int, int, int]:
+    """Voxel extent (ei, ej, ek) of one PC-point chunk of a D-cube.
+
+    Points are raster-ordered (i-major): a chunk of PC contiguous ids
+    covers PC//D^2 full slabs when PC >= D^2, else a PC//D-row band of one
+    slab.  k always spans the full cube edge (PC >= D in practice).
+    """
+    dd = D * D
+    if PC >= dd:
+        return (max(PC // dd, 1), D, D)
+    return (1, max(PC // D, 1), D)
+
+
+def auto_chunk_hw(
+    Ps: np.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    D: int,
+    s: float,
+    image_hw,
+    PC: int = 1024,
+    margin: float = 1.15,
+) -> Tuple[int, int]:
+    """Pick (SH, SW) to cover the largest CHUNK (slab) footprint.
+
+    The r4 gather attack: the kernel's per-point interpolation cost is the
+    window AREA, and one grid step's PC points are a thin slab of the
+    cube — its projected footprint is a fraction of the cube's.  Probe
+    slab-shaped boxes over the scene bbox (same scheme as auto_crop_hw),
+    take the worst per-view bbox EDGE lengths, pad by `margin` + bilinear
+    slack, snap to sublane/lane-friendly sizes.  Returns sizes capped at
+    the full-crop bound; pass to warp_gather_pallas(chunk_hw=...).
+    """
+    bbox_min = np.asarray(bbox_min, np.float64)
+    bbox_max = np.asarray(bbox_max, np.float64)
+    H, W = image_hw
+    ext = np.array(chunk_voxel_extent(D, PC), np.float64) * s
+    lin = [
+        np.linspace(bbox_min[a], max(bbox_max[a] - ext[a], bbox_min[a]), 5)
+        for a in range(3)
+    ]
+    gx, gy, gz = np.meshgrid(*lin, indexing="ij")
+    origins = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    offs = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.float64
+    )
+    corners = origins[:, None, :] + ext[None, None, :] * offs[None]
+    ones = np.ones((*corners.shape[:-1], 1))
+    ph = np.einsum(
+        "nci,vji->nvcj", np.concatenate([corners, ones], -1),
+        np.asarray(Ps, np.float64),
+    )  # (N, V, 8, 3)
+    w = ph[..., 2]
+    uv = ph[..., :2] / np.where(
+        np.abs(w[..., None]) < 1e-9, 1e-9, w[..., None]
+    )
+    ok = (
+        (w > 0) & (uv[..., 0] > -W) & (uv[..., 0] < 2 * W)
+        & (uv[..., 1] > -H) & (uv[..., 1] < 2 * H)
+    )
+    big = 1e18
+    umin = np.min(np.where(ok, uv[..., 0], big), axis=-1)
+    umax = np.max(np.where(ok, uv[..., 0], -big), axis=-1)
+    vmin = np.min(np.where(ok, uv[..., 1], big), axis=-1)
+    vmax = np.max(np.where(ok, uv[..., 1], -big), axis=-1)
+    valid = ok.any(axis=-1)
+    du = np.where(valid, umax - umin, 0.0).max()
+    dv = np.where(valid, vmax - vmin, 0.0).max()
+    # +4: one bilinear neighbor each side + the kernel's floor-1 anchor.
+    SH = int(np.ceil((dv * margin + 4) / 8) * 8)
+    SW = int(np.ceil((du * margin + 4) / 8) * 8)
+    SH = int(np.clip(SH, 8, 512))
+    SW = int(np.clip(SW, 8, 512))
+    return SH, SW
+
+
 def build_cvc_batch_pallas(
     images: jnp.ndarray,
     Ps: jnp.ndarray,
@@ -493,6 +655,7 @@ def build_cvc_batch_pallas(
     CH: int = 192,
     CW: int = 256,
     in_dtype=jnp.bfloat16,
+    chunk_hw: Tuple[int, int] = (0, 0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.cvc.build_cvc_batch using the kernel.
 
@@ -504,6 +667,7 @@ def build_cvc_batch_pallas(
     colors, valid = warp_gather_tiled(
         images, Ps, flat_views.astype(jnp.int32), flat_origins,
         D=D, s=s, CH=CH, CW=CW, interpret=interpret, in_dtype=in_dtype,
+        chunk_hw=chunk_hw,
     )
     ca, cb = colors[:B], colors[B:]
     va, vb = valid[:B], valid[B:]

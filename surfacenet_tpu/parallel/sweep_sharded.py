@@ -209,12 +209,19 @@ def run_sweep_sharded(
     # mirror run_sweep: the Pallas gather streams fixed-size image crops, so
     # the crop window must be sized from the scene geometry once up front.
     crop_hw = (192, 256)
+    chunk_hw = (0, 0)
     if cfg.sweep.use_pallas_gather:
         from surfacenet_tpu.ops.pallas.warp_gather import (
-            auto_crop_hw, gather_tile_d,
+            auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
-        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw)
+        if cfg.sweep.gather_chunk_windows:
+            crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
+            chunk_hw = auto_chunk_hw(Ps, bbox_min, bbox_max, D, s, hw)
+        else:
+            crop_hw = auto_crop_hw(
+                Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
+            )
 
     # round-robin: each round takes cube_batch*n_cube items from each block
     cursors = [0] * n_block
@@ -303,6 +310,7 @@ def run_sweep_sharded(
                 compact_k=cfg.sweep.compact_k,
                 gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
+                chunk_hw=chunk_hw,
             )
 
         host = dict(
@@ -366,6 +374,7 @@ def run_sweep_sharded(
                 compact_k=cfg.sweep.compact_k,
                 gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
+                chunk_hw=chunk_hw,
             )
             outs.append(tuple(np.asarray(x) for x in out))
         take = len(rows)

@@ -230,7 +230,7 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
         "compact_output", "compact_k", "pool_window", "gather_dtype",
-        "pallas_interpret",
+        "pallas_interpret", "chunk_hw",
     ),
 )
 def cube_batch_step(
@@ -265,6 +265,10 @@ def cube_batch_step(
     pallas_interpret: bool = False,  # run Pallas kernels in interpret mode
     #   (CPU integration tests of the TPU-native path; no effect on XLA
     #   fallbacks)
+    chunk_hw: tuple = (0, 0),  # (SH, SW) per-chunk gather sub-windows
+    #   (r4; auto_chunk_hw).  (0, 0) = full-crop kernel.  When set, large
+    #   cubes gather in ONE dispatch (no sub-cube tiling): the per-point
+    #   cost is the sub-window area, independent of the cube footprint.
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -314,6 +318,10 @@ def cube_batch_step(
                     "int8": jnp.int8,
                     "float32": jnp.float32,
                 }[gather_dtype],
+                chunk_hw=chunk_hw,
+                # chunk windows bound the per-point cost by the sub-window
+                # area, so large-D tiling only adds dispatches: disable it.
+                tile_d=D if chunk_hw != (0, 0) else 0,
             )
         return build_cvc_views(images, Ps, views, view_origins, D, s)
 
@@ -715,16 +723,24 @@ def run_sweep(
     Ps_d = jnp.asarray(Ps, jnp.float32)
 
     crop_hw = (192, 256)
+    chunk_hw = (0, 0)
     if cfg.sweep.use_pallas_gather:
         from surfacenet_tpu.ops.pallas.warp_gather import (
-            auto_crop_hw, gather_tile_d,
+            auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
-        # crops are sized for the gather tile (large cubes are gathered as
-        # sub-cubes; see warp_gather_tiled), not the full cube footprint
-        crop_hw = auto_crop_hw(
-            Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
-        )
+        if cfg.sweep.gather_chunk_windows:
+            # r4: per-chunk sub-windows bound the per-point kernel cost;
+            # the cube gathers in ONE dispatch, so crops cover the FULL
+            # cube footprint and the sub-window covers the worst slab.
+            crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
+            chunk_hw = auto_chunk_hw(Ps, bbox_min, bbox_max, D, s, hw)
+        else:
+            # crops are sized for the gather tile (large cubes are
+            # gathered as sub-cubes; see warp_gather_tiled)
+            crop_hw = auto_crop_hw(
+                Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
+            )
 
     core_bounds = (
         core_bounds_for(
@@ -779,8 +795,9 @@ def run_sweep(
             adaptive_target_density=cfg.fusion.adaptive_target_density,
             compact_output=compact,
             compact_k=cfg.sweep.compact_k,
-                gather_dtype=cfg.sweep.gather_dtype,
+            gather_dtype=cfg.sweep.gather_dtype,
             pool_window=pool_window,
+            chunk_hw=chunk_hw,
         )
 
     compact_K = _resolve_compact_k(cfg.sweep.compact_k, D)
@@ -829,6 +846,7 @@ def run_sweep(
                 compact_k=cfg.sweep.compact_k,
                 gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
+                chunk_hw=chunk_hw,
             )
             outs.append(tuple(np.asarray(x) for x in out))
         take = len(rows)

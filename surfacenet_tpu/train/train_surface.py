@@ -62,7 +62,7 @@ def create_train_state(cfg: Config, rng: jax.Array) -> Tuple[SurfaceNet, TrainSt
 
 def _gather_cvcs(
     images, Ps, pair_idx, origins, D, s, center_colors,
-    use_pallas, crop_hw,
+    use_pallas, crop_hw, chunk_hw=(0, 0),
 ):
     """CVC-pair batch via the Pallas warp-gather kernel (TPU) or XLA.
 
@@ -77,7 +77,7 @@ def _gather_cvcs(
 
         return build_cvc_batch_pallas(
             images, Ps, pair_idx, origins, D, s, center_colors,
-            CH=crop_hw[0], CW=crop_hw[1],
+            CH=crop_hw[0], CW=crop_hw[1], chunk_hw=chunk_hw,
         )
     return build_cvc_batch(
         images, Ps, pair_idx, origins, D, s, center_colors
@@ -98,6 +98,7 @@ def _train_step_impl(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    chunk_hw: tuple = (0, 0),
 ) -> Tuple[TrainState, jnp.ndarray]:
     """One fused CVC-gather + forward + backward + update step (traceable:
     called directly by ``train_step`` and from inside ``train_steps_scan``'s
@@ -105,7 +106,7 @@ def _train_step_impl(
 
     x, valid = _gather_cvcs(
         images, Ps, pair_idx, origins, D, s, center_colors,
-        use_pallas, crop_hw,
+        use_pallas, crop_hw, chunk_hw,
     )
 
     def loss_fn(params):
@@ -131,6 +132,7 @@ train_step = jax.jit(
     _train_step_impl,
     static_argnames=(
         "D", "s", "balanced", "center_colors", "use_pallas", "crop_hw",
+        "chunk_hw",
     ),
 )
 train_step.__doc__ = "Jitted single fused CVC-gather + fwd + bwd + update."
@@ -138,18 +140,21 @@ train_step.__doc__ = "Jitted single fused CVC-gather + fwd + bwd + update."
 
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "s", "center_colors", "use_pallas", "crop_hw"),
+    static_argnames=(
+        "D", "s", "center_colors", "use_pallas", "crop_hw", "chunk_hw",
+    ),
 )
 def eval_step(
     state: TrainState,
     images, Ps, origins, pair_idx, labels,
     *, D: int, s: float, center_colors: bool,
     use_pallas: bool = False, crop_hw: tuple = (192, 256),
+    chunk_hw: tuple = (0, 0),
 ):
     """Loss + IoU@0.5 on a batch without updating state."""
     x, valid = _gather_cvcs(
         images, Ps, pair_idx, origins, D, s, center_colors,
-        use_pallas, crop_hw,
+        use_pallas, crop_hw, chunk_hw,
     )
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -308,7 +313,7 @@ def _constrain_batch(arrs, batch_sharding):
     jax.jit,
     static_argnames=(
         "surf_fn", "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw", "batch_sharding",
+        "use_pallas", "crop_hw", "chunk_hw", "batch_sharding",
     ),
 )
 def train_steps_scan(
@@ -329,6 +334,7 @@ def train_steps_scan(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    chunk_hw: tuple = (0, 0),
     batch_sharding=None,  # NamedSharding(mesh, P(axes, ...)) or None
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K fused training steps in one dispatch (lax.scan over steps).
@@ -363,7 +369,7 @@ def train_steps_scan(
         state, loss = _train_step_impl(
             state, images, Ps, origins, pair_idx, labels,
             D=D, s=s, balanced=balanced, center_colors=center_colors,
-            use_pallas=use_pallas, crop_hw=crop_hw,
+            use_pallas=use_pallas, crop_hw=crop_hw, chunk_hw=chunk_hw,
         )
         return state, loss
 
@@ -472,7 +478,7 @@ def make_pool_sampler_multi(
     jax.jit,
     static_argnames=(
         "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw", "batch_sharding",
+        "use_pallas", "crop_hw", "chunk_hw", "batch_sharding",
     ),
 )
 def train_steps_scan_pool(
@@ -492,6 +498,7 @@ def train_steps_scan_pool(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    chunk_hw: tuple = (0, 0),
     batch_sharding=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K training steps per dispatch drawing from a precomputed cube pool."""
@@ -516,7 +523,7 @@ def train_steps_scan_pool(
         state, loss = _train_step_impl(
             state, images, Ps, origins, pair_idx, labels,
             D=D, s=s, balanced=balanced, center_colors=center_colors,
-            use_pallas=use_pallas, crop_hw=crop_hw,
+            use_pallas=use_pallas, crop_hw=crop_hw, chunk_hw=chunk_hw,
         )
         return state, loss
 
@@ -528,7 +535,7 @@ def train_steps_scan_pool(
     jax.jit,
     static_argnames=(
         "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw",
+        "use_pallas", "crop_hw", "chunk_hw",
     ),
 )
 def eval_loss_pool(
@@ -546,6 +553,7 @@ def eval_loss_pool(
     center_colors: bool,
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
+    chunk_hw: tuple = (0, 0),
 ) -> jnp.ndarray:
     """Mean class-balanced BCE over a held-out pool (train=False, no
     update, deterministic first-pair choice) — the eval-split loss that
@@ -568,7 +576,7 @@ def eval_loss_pool(
         pair_idx = sl(pool_pairs)[:, 0]
         x, valid = _gather_cvcs(
             images, Ps, pair_idx, origins, D, s, center_colors,
-            use_pallas, crop_hw,
+            use_pallas, crop_hw, chunk_hw,
         )
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -644,26 +652,41 @@ def train_surfacenet(
         cfg.sweep.use_pallas_gather and jax.default_backend() != "cpu"
     )
     crop_hw = (192, 256)
+    chunk_hw = (0, 0)
     if use_pallas:
         from surfacenet_tpu.ops.pallas.warp_gather import (
-            auto_crop_hw, gather_tile_d,
+            auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
-        crops = []
+        chunks_on = cfg.sweep.gather_chunk_windows
+        crops, chunks = [], []
         for sc in scenes:
             if getattr(sc, "bbox_min", None) is None:
                 continue
             crops.append(
                 auto_crop_hw(
                     np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
-                    gather_tile_d(cfg.voxel.cube_size),
+                    cfg.voxel.cube_size if chunks_on
+                    else gather_tile_d(cfg.voxel.cube_size),
                     cfg.voxel.voxel_size_mm,
                     sc.images.shape[1:3],
                 )
             )
+            if chunks_on:
+                chunks.append(
+                    auto_chunk_hw(
+                        np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
+                        cfg.voxel.cube_size, cfg.voxel.voxel_size_mm,
+                        sc.images.shape[1:3],
+                    )
+                )
         if crops:
             crop_hw = (
                 max(c[0] for c in crops), max(c[1] for c in crops)
+            )
+        if chunks:
+            chunk_hw = (
+                max(c[0] for c in chunks), max(c[1] for c in chunks)
             )
 
     log = TrainLog(steps=[], losses=[])
@@ -766,6 +789,7 @@ def train_surfacenet(
                 balanced=cfg.train.class_balance,
                 center_colors=cfg.voxel.center_colors,
                 use_pallas=use_pallas, crop_hw=crop_hw,
+                chunk_hw=chunk_hw,
                 batch_sharding=batch_sharding,
             )
             if sampler is not None:
@@ -803,6 +827,7 @@ def train_surfacenet(
                     balanced=cfg.train.class_balance,
                     center_colors=cfg.voxel.center_colors,
                     use_pallas=use_pallas, crop_hw=crop_hw,
+                    chunk_hw=chunk_hw,
                 ))
                 log.eval_steps.append(done)
                 log.eval_losses.append(ev)
@@ -831,6 +856,7 @@ def train_surfacenet(
             center_colors=cfg.voxel.center_colors,
             use_pallas=use_pallas,
             crop_hw=crop_hw,
+            chunk_hw=chunk_hw,
         )
         if step % log_every == 0 or step == n_steps - 1:
             log.steps.append(step)

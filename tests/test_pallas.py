@@ -116,6 +116,46 @@ def test_warp_gather_int8_tolerance(scene):
         assert err.max() < 1.5e-2, f"item {b}: int8 err {err.max()}"
 
 
+def test_warp_gather_chunk_windows_match_oracle(scene):
+    """r4 per-chunk sub-windows (chunk_hw): the kernel restricts each
+    point-chunk's interpolation to its slab's projected footprint; results
+    must stay oracle-exact for both chunk geometries (j-band when
+    PC < D^2, multi-slab when PC >= D^2)."""
+    from surfacenet_tpu.ops.pallas.warp_gather import auto_chunk_hw
+
+    D, s = 8, 4.0
+    images = jnp.asarray(scene.images)
+    Ps = jnp.asarray(scene.Ps, jnp.float32)
+    rng = np.random.default_rng(7)
+    B = 3
+    origins = jnp.asarray(rng.uniform(-16, 0, (B, 3)).astype(np.float32))
+    views = jnp.asarray(rng.integers(0, 4, B).astype(np.int32))
+
+    from surfacenet_tpu.ops.cvc import build_cvc
+
+    for PC in (32, 128):
+        sh, sw = auto_chunk_hw(
+            np.asarray(scene.Ps), [-20, -20, -20], [4, 4, 4], D, s,
+            (96, 128), PC=PC,
+        )
+        assert sh < 96 or sw < 128  # must actually sub-window
+        colors, valid = warp_gather_pallas(
+            images, Ps, views, origins, D=D, s=s, CH=96, CW=128, PC=PC,
+            interpret=True, in_dtype=jnp.float32, chunk_hw=(sh, sw),
+        )
+        gv = np.asarray(valid)
+        for b in range(B):
+            ref, rv = build_cvc(
+                images[views[b]], Ps[views[b]], origins[b], D, s,
+                center_colors=False,
+            )
+            rv = np.asarray(rv)
+            assert (gv[b] == rv).mean() > 0.999, (PC, b)
+            both = gv[b] & rv
+            err = np.abs(np.asarray(colors[b]) - np.asarray(ref))[both]
+            assert err.max() < 1e-4, (PC, b, err.max())
+
+
 def test_build_cvc_batch_pallas_matches_oracle(scene):
     D, s = 8, 4.0
     images = jnp.asarray(scene.images)
@@ -348,6 +388,20 @@ def test_cube_batch_step_tpu_native_path_interpret(scene):
     )
     assert np.abs(fused_x - np.asarray(fused_i)).max() < 0.06
     assert (occ_x == np.asarray(occ_i)).mean() > 0.99
+
+    # r4 gather chunk windows through the fused step (auto-sized like the
+    # production sweep): same error class as the full-crop kernel.
+    from surfacenet_tpu.ops.pallas.warp_gather import auto_chunk_hw
+
+    chw = auto_chunk_hw(
+        scene.Ps, scene.bbox_min, scene.bbox_max, D, s, hw, PC=1024
+    )
+    occ_c, fused_c, _ = cube_batch_step(
+        *args, use_pallas=True, ray_pool_mode="affine_pallas",
+        pallas_interpret=True, crop_hw=(96, 128), chunk_hw=chw, **kw
+    )
+    assert np.abs(fused_x - np.asarray(fused_c)).max() < 0.05
+    assert (occ_x == np.asarray(occ_c)).mean() > 0.995
 
 
 def test_warp_gather_item_chunking(scene, monkeypatch):
