@@ -15,6 +15,7 @@ documented baseline estimate, so vs_baseline = cubes_per_s / 5.0.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,7 +27,6 @@ def _relay_preflight():
     listeners die when the driver-side carrier drops)."""
     import os
     import socket
-    import sys
 
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
@@ -47,17 +47,46 @@ def _relay_preflight():
     )
 
 
+def time_pipelined(fn, n_iters: int = 10, n_windows: int = 3) -> float:
+    """Best-window seconds for ``n_iters`` PIPELINED dispatches of ``fn``.
+
+    fn() must return a jnp scalar; dispatches run asynchronously and the
+    host syncs ONCE per window on the summed scalars — matching the
+    sweep's double-buffered production loop.  (A per-iteration host sync
+    would add the ~30 ms relay round-trip to every batch; multiple
+    windows because the relay/remote path has multi-x run-to-run
+    interference, so the fastest window is the honest device number.)
+    """
+    float(fn())  # warmup + compile
+    best = float("inf")
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        sums = [fn() for _ in range(n_iters)]
+        float(sum(sums))  # one host sync for the whole window
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     _relay_preflight()
 
-    from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
+    from surfacenet_tpu.config import (
+        Config, FusionConfig, ModelConfig, VoxelConfig,
+    )
     from surfacenet_tpu.data.synthetic import make_sphere_scene
-    from surfacenet_tpu.models.surfacenet import init_surfacenet
-    from surfacenet_tpu.ops.view_pairs import select_pairs_geometric
+    from surfacenet_tpu.models.surfacenet import (
+        init_surfacenet, make_predictor,
+    )
+    from surfacenet_tpu.ops.view_pairs import (
+        dedup_view_slots, select_pairs_geometric,
+    )
     from surfacenet_tpu.pipeline.sweep import cube_batch_step
+    from surfacenet_tpu.utils.observability import (
+        FlopModel, detect_peak_tflops,
+    )
 
     on_tpu = jax.default_backend() not in ("cpu",)
 
@@ -71,12 +100,12 @@ def main():
     )
     D = cfg.voxel.cube_size
     BATCH = 32
+    n_iters = 10
 
     scene = make_sphere_scene(n_views=8, hw=(600, 800), radius=30.0)
     images = jnp.asarray(scene.images, jnp.float32)
     Ps = jnp.asarray(scene.Ps, jnp.float32)
-
-    from surfacenet_tpu.models.surfacenet import make_predictor
+    hw = scene.images.shape[1:3]
 
     model, variables = init_surfacenet(
         cfg.model, jax.random.PRNGKey(0), D=D
@@ -88,16 +117,24 @@ def main():
     origins = (pts - D * cfg.voxel.voxel_size_mm / 2).astype(np.float32)
     pair_idx, pair_w = select_pairs_geometric(
         scene.Ps, origins, cfg.fusion.n_view_pairs,
-        scene.images.shape[1:3], extent_mm=cfg.voxel.cube_extent_mm,
+        hw, extent_mm=cfg.voxel.cube_extent_mm,
     )
 
+    chunk_hw = (0, 0)
     if on_tpu:
-        from surfacenet_tpu.ops.pallas.warp_gather import auto_crop_hw
+        from surfacenet_tpu.ops.pallas.warp_gather import (
+            auto_chunk_hw, auto_crop_hw,
+        )
 
         crop_hw = auto_crop_hw(
             scene.Ps, scene.bbox_min, scene.bbox_max, D,
-            cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
+            cfg.voxel.voxel_size_mm, hw,
         )
+        if cfg.sweep.gather_chunk_windows:
+            chunk_hw = auto_chunk_hw(
+                scene.Ps, scene.bbox_min, scene.bbox_max, D,
+                cfg.voxel.voxel_size_mm, hw,
+            )
     else:
         crop_hw = (192, 256)
     kw = dict(
@@ -108,6 +145,7 @@ def main():
         n_pool_views=cfg.fusion.n_pool_views,
         ray_pool_mode=cfg.fusion.ray_pool_mode,
         crop_hw=crop_hw,
+        chunk_hw=chunk_hw,
         # production parity with run_sweep (r3): windowed cross-cube
         # pooling + sparse compact harvest.  Pre-r3 benches measured
         # segment-mode pooling with dense output, which under-measured
@@ -117,8 +155,6 @@ def main():
         compact_output=True,
     )
     # production parity: run_sweep passes the deduped gather table
-    from surfacenet_tpu.ops.view_pairs import dedup_view_slots
-
     uniq_views, slot_idx = dedup_view_slots(pair_idx)
     args = (
         images, Ps, jnp.asarray(origins), jnp.asarray(pair_idx),
@@ -126,36 +162,13 @@ def main():
         jnp.asarray(uniq_views), jnp.asarray(slot_idx),
     )
 
-    # warmup + compile, then PIPELINED timing: dispatch all iterations
-    # asynchronously and host-sync once at the end — matching the sweep's
-    # double-buffered production loop.  (A per-iteration host sync would
-    # add the ~30 ms relay round-trip to every batch; block_until_ready
-    # alone under-reports on the axon remote platform, hence the scalar
-    # readback.)
-    out = cube_batch_step(*args, **kw)
-    float(jnp.sum(out[1]))
+    def step_fn(kwargs):
+        return lambda: jnp.sum(cube_batch_step(*args, **kwargs)[1])
 
-    # 3 windows of 10 pipelined batches; report the fastest window (the
-    # relay/remote-execution path has multi-x run-to-run interference).
-    n_iters = 10
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sums = []
-        for _ in range(n_iters):
-            out = cube_batch_step(*args, **kw)
-            sums.append(jnp.sum(out[1]))
-        float(sum(sums))  # one host sync for the whole window
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
-
+    dt = time_pipelined(step_fn(kw), n_iters)
     cubes_per_s = BATCH * n_iters / dt
 
     # --- MFU accounting (BASELINE north star: >= 70% 3D-conv utilization)
-    from surfacenet_tpu.utils.observability import (
-        FlopModel, detect_peak_tflops,
-    )
-
     fm = FlopModel(cfg.model, D)
     peak = detect_peak_tflops()
     flops_per_item = fm.conv_stack_flops() + fm.side_flops()
@@ -164,79 +177,51 @@ def main():
 
     # model-forward stage alone (same item count as one e2e batch)
     n_items = BATCH * cfg.fusion.n_view_pairs
-    x_fwd = jnp.zeros((n_items, D, D, D, cfg.model.in_channels), jnp.float32)
-    fwd = jax.jit(lambda x: predict(x, None))  # same path as the sweep
-    float(jnp.sum(fwd(x_fwd)))
-    best_fwd = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sums = [jnp.sum(fwd(x_fwd)) for _ in range(n_iters)]
-        float(sum(sums))
-        best_fwd = min(best_fwd, time.perf_counter() - t0)
-    fwd_items_per_s = n_items * n_iters / best_fwd
+
+    def fwd_items_per_s_for(predictor, mcfg):
+        x_fwd = jnp.zeros(
+            (n_items, D, D, D, mcfg.in_channels), jnp.float32
+        )
+        fwd = jax.jit(lambda x: predictor(x, None))
+        best = time_pipelined(lambda: jnp.sum(fwd(x_fwd)), n_iters)
+        return n_items * n_iters / best
+
+    fwd_items_per_s = fwd_items_per_s_for(predict, cfg.model)
     fwd_mfu = 100.0 * fm.utilization(fwd_items_per_s, peak)
 
-    # --- MXU-aligned operating point (ROOFLINE.md SS4's lever: the
-    # paper widths cap the lane ceiling at 59.3%; mxu_aligned() removes
-    # it.  Shipped weights: weights/golden_{sphere,tori}_aligned_30k,
-    # quality next to paper-width rows in results/quality_r03_aligned.json)
-    fwd_mfu_aligned = None
-    try:
-        from surfacenet_tpu.config import ModelConfig
-
-        acfg = ModelConfig.mxu_aligned()
-        amodel, avars = init_surfacenet(acfg, jax.random.PRNGKey(0), D=D)
-        apredict = make_predictor(amodel, avars, acfg)
-        afm = FlopModel(acfg, D)
-        x_a = jnp.zeros(
-            (n_items, D, D, D, acfg.in_channels), jnp.float32
-        )
-        afwd = jax.jit(lambda x: apredict(x, None))
-        float(jnp.sum(afwd(x_a)))
-        best_a = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sums = [jnp.sum(afwd(x_a)) for _ in range(n_iters)]
-            float(sum(sums))
-            best_a = min(best_a, time.perf_counter() - t0)
-        fwd_mfu_aligned = 100.0 * afm.utilization(
-            n_items * n_iters / best_a, peak
-        )
-    except Exception as e:  # aligned line must not take down the headline
-        import sys
-
-        print(f"bench: aligned point failed: {e!r}", file=sys.stderr)
-
-    # --- fast lane-aligned operating point (ModelConfig.fast, "fastE"):
-    # 100% MXU lane ceiling at 12.4 GF/item — the throughput flagship.
-    # Same full production step (gather + forward + fuse + pool + compact),
-    # only the model differs.  Quality qualified by the 30k-step golden
-    # recipe (results/quality_r03_fastE.json); forward shootout in
-    # results/fast_model_bench_r03.json.
-    cubes_per_s_fast = None
-    try:
-        from surfacenet_tpu.config import ModelConfig as _MC
-
-        fcfg = _MC.fast()
-        fmodel, fvars = init_surfacenet(fcfg, jax.random.PRNGKey(0), D=D)
-        fpredict = make_predictor(fmodel, fvars, fcfg)
-        kwf = dict(kw, predict=fpredict)
-        out = cube_batch_step(*args, **kwf)
-        float(jnp.sum(out[1]))
-        best_f = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sums = [
-                jnp.sum(cube_batch_step(*args, **kwf)[1])
-                for _ in range(n_iters)
-            ]
-            float(sum(sums))
-            best_f = min(best_f, time.perf_counter() - t0)
-        cubes_per_s_fast = BATCH * n_iters / best_f
-    except Exception as e:  # fast line must not take down the headline
-        import sys
-
-        print(f"bench: fast point failed: {e!r}", file=sys.stderr)
+    # --- lane-aligned operating points (ROOFLINE.md SS4: the paper widths
+    # cap the MXU lane ceiling at 59.3%; mxu_aligned()/fast() remove it).
+    # For each: forward MFU and the FULL production step (gather + forward
+    # + fuse + pool + compact) with that model — cubes/s and e2e MFU at a
+    # 100%-lane-ceiling model (VERDICT r3 next #2).  Shipped weights:
+    # weights/golden_*_aligned_30k / _fastE_30k; quality grids in
+    # results/quality_r03_aligned.json / quality_r03_fastE.json.
+    extra = {}
+    for name, mk in (("aligned", ModelConfig.mxu_aligned),
+                     ("fast", ModelConfig.fast)):
+        try:
+            mcfg = mk()
+            mmodel, mvars = init_surfacenet(
+                mcfg, jax.random.PRNGKey(0), D=D
+            )
+            mpredict = make_predictor(mmodel, mvars, mcfg)
+            mfm = FlopModel(mcfg, D)
+            ips = fwd_items_per_s_for(mpredict, mcfg)
+            extra[f"model_fwd_mfu_pct_{name}"] = round(
+                100.0 * mfm.utilization(ips, peak), 1
+            )
+            best = time_pipelined(
+                step_fn(dict(kw, predict=mpredict)), n_iters
+            )
+            cps = BATCH * n_iters / best
+            extra[f"cubes_per_s_{name}"] = round(cps, 2)
+            extra[f"e2e_mfu_pct_{name}"] = round(
+                100.0 * mfm.utilization(
+                    cps * cfg.fusion.n_view_pairs, peak
+                ), 1,
+            )
+        except Exception as e:  # variant must not take down the headline
+            print(f"bench: {name} point failed: {e!r}", file=sys.stderr)
 
     # --- 64^3 operating point (BASELINE config 2: train 32^3, apply 64^3)
     cubes_per_s_64 = None
@@ -249,39 +234,40 @@ def main():
         )
         pair_idx64, pair_w64 = select_pairs_geometric(
             scene.Ps, origins64, cfg.fusion.n_view_pairs,
-            scene.images.shape[1:3],
-            extent_mm=D64 * cfg.voxel.voxel_size_mm,
+            hw, extent_mm=D64 * cfg.voxel.voxel_size_mm,
         )
         kw64 = dict(kw, D=D64)
         if on_tpu:
             from surfacenet_tpu.ops.pallas.warp_gather import gather_tile_d
 
-            kw64["crop_hw"] = auto_crop_hw(
-                scene.Ps, scene.bbox_min, scene.bbox_max,
-                gather_tile_d(D64),
-                cfg.voxel.voxel_size_mm, scene.images.shape[1:3],
-            )
+            if cfg.sweep.gather_chunk_windows:
+                # one dispatch: full-cube crop + slab sub-windows
+                kw64["crop_hw"] = auto_crop_hw(
+                    scene.Ps, scene.bbox_min, scene.bbox_max, D64,
+                    cfg.voxel.voxel_size_mm, hw,
+                )
+                kw64["chunk_hw"] = auto_chunk_hw(
+                    scene.Ps, scene.bbox_min, scene.bbox_max, D64,
+                    cfg.voxel.voxel_size_mm, hw,
+                )
+            else:
+                kw64["crop_hw"] = auto_crop_hw(
+                    scene.Ps, scene.bbox_min, scene.bbox_max,
+                    gather_tile_d(D64),
+                    cfg.voxel.voxel_size_mm, hw,
+                )
         uniq64, slot64 = dedup_view_slots(pair_idx64)
         args64 = (
             images, Ps, jnp.asarray(origins64), jnp.asarray(pair_idx64),
             jnp.asarray(pair_w64), None,
             jnp.asarray(uniq64), jnp.asarray(slot64),
         )
-        out = cube_batch_step(*args64, **kw64)
-        float(jnp.sum(out[1]))
-        best64 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sums = [
-                jnp.sum(cube_batch_step(*args64, **kw64)[1])
-                for _ in range(n_iters)
-            ]
-            float(sum(sums))
-            best64 = min(best64, time.perf_counter() - t0)
+
+        best64 = time_pipelined(
+            lambda: jnp.sum(cube_batch_step(*args64, **kw64)[1]), n_iters
+        )
         cubes_per_s_64 = B64 * n_iters / best64
     except Exception as e:  # 64^3 must not take down the headline metric
-        import sys
-
         print(f"bench: 64^3 point failed: {e!r}", file=sys.stderr)
 
     # --- training throughput (scan-chained device-sampled loop)
@@ -303,7 +289,7 @@ def main():
         tkw = dict(
             surf_fn=surf_fn, K=50, batch=16, D=D,
             s=cfg.voxel.voxel_size_mm, balanced=True, center_colors=True,
-            use_pallas=on_tpu, crop_hw=crop_hw,
+            use_pallas=on_tpu, crop_hw=crop_hw, chunk_hw=chunk_hw,
         )
         key = jax.random.PRNGKey(1)
         key, sub = jax.random.split(key)
@@ -324,8 +310,6 @@ def main():
             best_tr = min(best_tr, time.perf_counter() - t0)
         train_steps_per_s = 50 / best_tr
     except Exception as e:  # training line must not take down the headline
-        import sys
-
         print(f"bench: training point failed: {e!r}", file=sys.stderr)
 
     baseline_est = 5.0  # cubes/s, documented estimate (see module docstring)
@@ -335,9 +319,9 @@ def main():
         "unit": "cubes/s (32^3 voxels, 5 view pairs, full model)",
         "vs_baseline": round(cubes_per_s / baseline_est, 2),
         "e2e_includes": (
-            "dedup gather + forward + fuse + windowed pool(w=2) + "
-            "compact harvest (production parity; pre-r3 rounds benched "
-            "segment pooling + dense output)"
+            "dedup gather (chunk sub-windows) + forward + fuse + windowed "
+            "pool(w=2) + compact harvest (production parity; pre-r3 "
+            "rounds benched segment pooling + dense output)"
         ),
         "conv_gflops_per_item": round(flops_per_item / 1e9, 2),
         "model_fwd_items_per_s": round(fwd_items_per_s, 1),
@@ -346,10 +330,7 @@ def main():
         "mxu_lane_ceiling_pct": round(100.0 * fm.mxu_ceiling(), 1),
         "peak_tflops": peak,
     }
-    if fwd_mfu_aligned is not None:
-        rec["model_fwd_mfu_pct_aligned"] = round(fwd_mfu_aligned, 1)
-    if cubes_per_s_fast is not None:
-        rec["cubes_per_s_fast"] = round(cubes_per_s_fast, 2)
+    rec.update(extra)
     if cubes_per_s_64 is not None:
         rec["cubes_per_s_64"] = round(cubes_per_s_64, 2)
     if train_steps_per_s is not None:

@@ -287,14 +287,42 @@ def cmd_train(args):
             )
         else:
             mesh = make_mesh()
+    state = None
+    start_step = 0
+    if args.resume:
+        from surfacenet_tpu.train.train_surface import restore_checkpoint
+
+        steps = []
+        if os.path.isdir(args.checkpoint_dir):
+            steps = [
+                int(d.split("_")[1])
+                for d in os.listdir(args.checkpoint_dir)
+                if d.startswith("step_")
+            ]
+        if steps:
+            state, start_step = restore_checkpoint(
+                args.checkpoint_dir, cfg
+            )
+            print(f"resuming from step {start_step}")
+            if start_step >= args.steps:
+                print(
+                    f"checkpoint step {start_step} >= --steps "
+                    f"{args.steps}; nothing to do"
+                )
+                return
+        else:
+            print(
+                f"--resume: no step_* checkpoints in "
+                f"{args.checkpoint_dir}; starting fresh"
+            )
     state, log = train_surfacenet(
-        scene, cfg, n_steps=args.steps,
+        scene, cfg, n_steps=args.steps, state=state,
         checkpoint_dir=args.checkpoint_dir, log_every=args.log_every,
-        mesh=mesh,
+        mesh=mesh, start_step=start_step,
     )
     print(
-        f"trained {args.steps} steps; loss {log.losses[0]:.4f} -> "
-        f"{log.losses[-1]:.4f}"
+        f"trained steps {start_step}..{args.steps}; loss "
+        f"{log.losses[0]:.4f} -> {log.losses[-1]:.4f}"
     )
 
 
@@ -676,6 +704,14 @@ def main(argv=None):
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--checkpoint-dir", default="checkpoints")
     pt.add_argument("--log-every", type=int, default=50)
+    pt.add_argument(
+        "--resume", action="store_true",
+        help="continue from the latest step_* checkpoint in "
+        "--checkpoint-dir (params + optimizer state + step; the LR "
+        "schedule and checkpoint numbering continue).  No-op when the "
+        "directory has no checkpoints yet, so preemption-safe loops can "
+        "always pass it.",
+    )
     pt.add_argument("--preset")
     pt.add_argument("--config")
     pt.add_argument("--set", action="append")

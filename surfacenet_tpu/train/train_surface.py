@@ -604,6 +604,7 @@ def train_surfacenet(
     checkpoint_dir: Optional[str] = None,
     log_every: int = 50,
     mesh=None,
+    start_step: int = 0,
 ) -> Tuple[TrainState, TrainLog]:
     """Training driver (single-host, or data-parallel over a mesh).
 
@@ -616,9 +617,18 @@ def train_surfacenet(
         minibatch dp-shards over every mesh axis inside the scanned step
         (batch_size must be a multiple of the device count).  Requires
         the scan path (scan_chunk > 0).
+      start_step: resume offset (SURVEY.md SS5 checkpoint/resume): pass
+        the (state, step) from ``restore_checkpoint`` to continue a
+        killed run — the loop runs n_steps - start_step more steps, log
+        steps and checkpoint filenames continue from start_step, and the
+        optimizer/LR schedule continues from the restored opt_state.
     """
     scenes = list(scene) if isinstance(scene, (list, tuple)) else [scene]
-    rng = np.random.default_rng(cfg.train.seed)
+    # resume: a distinct host-sampler stream per start offset (replaying
+    # the step-0 stream would repeat the original run's early batches)
+    rng = np.random.default_rng(
+        (cfg.train.seed, start_step) if start_step else cfg.train.seed
+    )
     if state is None:
         _, state = create_train_state(
             cfg, jax.random.PRNGKey(cfg.train.seed)
@@ -776,10 +786,18 @@ def train_surfacenet(
                 )
 
         refresh = cfg.train.pool_refresh_steps
-        next_refresh = refresh if (refresh > 0 and pool is not None) else None
-        next_eval = 0 if eval_pool is not None else None
+        next_refresh = (
+            (start_step // refresh + 1) * refresh
+            if (refresh > 0 and pool is not None)
+            else None
+        )
+        next_eval = start_step if eval_pool is not None else None
+        # resume: fold the start offset into the key stream so a resumed
+        # run draws fresh batches rather than replaying step-0 chunks.
         key = jax.random.PRNGKey(cfg.train.seed + 1)
-        done = 0
+        if start_step:
+            key = jax.random.fold_in(key, start_step)
+        done = start_step
         while done < n_steps:
             K = min(cfg.train.scan_chunk, n_steps - done)
             key, sub = jax.random.split(key)
@@ -841,7 +859,7 @@ def train_surfacenet(
     # host-sampled fallback (scan_chunk=0, or mixed-resolution scenes)
     images_d = [jnp.asarray(sc.images, jnp.float32) for sc in scenes]
     Ps_d = [jnp.asarray(sc.Ps, jnp.float32) for sc in scenes]
-    for step in range(n_steps):
+    for step in range(start_step, n_steps):
         si = step % len(scenes)
         origins, pair_idx, labels = sample_training_batch(
             scenes[si], cfg, rng

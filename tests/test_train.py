@@ -311,6 +311,47 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_train_resume_continues(tmp_path, small_scene):
+    """Kill-and-resume (SURVEY.md SS5 checkpoint/resume; VERDICT r3 next
+    #5): a run killed mid-way resumes from its checkpoint with continued
+    step numbering, optimizer state, checkpoint filenames, and a loss
+    curve that CONTINUES (the resumed losses sit in the trained regime,
+    not back at the fresh-init level)."""
+    import os
+
+    cfg = Config(
+        voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
+        model=ModelConfig.tiny(),
+        train=TrainConfig(
+            batch_size=4, lr=1e-2, n_steps=40, seed=0, scan_chunk=5,
+            checkpoint_every=10,
+        ),
+    )
+    ck = str(tmp_path / "ck")
+
+    # phase 1: "preempted" after 20 of 40 steps
+    _, log1 = train_surfacenet(
+        small_scene, cfg, n_steps=20, checkpoint_dir=ck, log_every=1
+    )
+    assert os.path.isdir(os.path.join(ck, "step_20"))
+
+    # phase 2: resume to 40
+    restored, step0 = restore_checkpoint(ck, cfg)
+    assert step0 == 20
+    state2, log2 = train_surfacenet(
+        small_scene, cfg, n_steps=40, state=restored,
+        checkpoint_dir=ck, log_every=1, start_step=step0,
+    )
+    assert log2.steps[0] == 20 and log2.steps[-1] == 39
+    assert int(state2.step) == 40  # optimizer step count continued
+    assert os.path.isdir(os.path.join(ck, "step_40"))
+    # curve continues: first resumed losses beat the fresh-start losses
+    assert np.mean(log2.losses[:5]) < np.mean(log1.losses[:5]), (
+        f"resume restarted the curve: {np.mean(log2.losses[:5]):.4f} vs "
+        f"fresh-start {np.mean(log1.losses[:5]):.4f}"
+    )
+
+
 def test_triplet_sampling_and_training(small_scene):
     cfg = _cfg()
     rng = np.random.default_rng(0)
