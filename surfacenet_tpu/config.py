@@ -342,9 +342,13 @@ def baseline_config(name: str) -> Config:
         )
     if name == "golden_aligned":  # r3: the MXU-aligned operating point —
         # 100% lane ceiling, quality BEATS paper width on both golden
-        # scenes (results/quality_r03_aligned.json; ROOFLINE.md SS4)
+        # scenes (results/quality_r03_aligned.json; ROOFLINE.md SS4).
+        # voxel_size_mm matches the 30k-step qualification runs (s=0.5,
+        # scripts/aligned_train_eval.py) — ADVICE r3: the preset must
+        # ship the voxel size its weights were qualified at.
         c = baseline_config("dtu9_single")
         return c.replace(
+            voxel=dataclasses.replace(c.voxel, voxel_size_mm=0.5),
             model=ModelConfig.mxu_aligned(),
             fusion=dataclasses.replace(c.fusion, n_view_pairs=5),
             train=dataclasses.replace(

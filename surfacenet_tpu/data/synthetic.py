@@ -49,6 +49,88 @@ class SyntheticScene:
         return self.surface_distance(centers) <= (s * np.sqrt(3) / 2)
 
 
+def degrade_scene(
+    scene,
+    *,
+    noise_std: float = 0.0,
+    exposure_jitter: float = 0.0,
+    wb_jitter: float = 0.0,
+    n_clutter: int = 0,
+    calib_sigma_px: float = 0.0,
+    bg: float = 0.1,
+    seed: int = 0,
+):
+    """Real-imaging degradations on a clean synthetic scene (VERDICT r4:
+    the testable proxy for DTU's photographs while the dataset is absent —
+    sensor noise, 7 lighting conditions, exposure variation, background
+    clutter, imperfect calibration; SURVEY.md SS6 / BASELINE tolerance).
+
+    Args:
+      noise_std: additive zero-mean Gaussian sensor noise per pixel
+        (fraction of full scale; DTU-class sensors ~0.005-0.02).
+      exposure_jitter: per-VIEW log-normal gain sigma — exposure /
+        lighting variation between views (the rXXXX light conditions).
+      wb_jitter: per-view per-CHANNEL log-normal gain sigma (white
+        balance drift between views).
+      n_clutter: textured rectangles pasted per view onto BACKGROUND
+        pixels only (lab clutter behind the object; the object itself is
+        never occluded — occlusion has its own golden scene).
+      calib_sigma_px: per-view principal-point shift sigma in pixels,
+        applied to P as P[0] += du*P[2], P[1] += dv*P[2] — the
+        first-order model of imperfect calibration (a pure image-space
+        offset of du,dv pixels).
+      bg: the renderer's constant background value (clutter mask).
+
+    Returns a scene of the same dataclass with degraded images/Ps; the
+    analytic GT surface is untouched, so accuracy/completeness curves
+    measure robustness alone.
+    """
+    rng = np.random.default_rng(seed)
+    imgs = np.asarray(scene.images, np.float32).copy()
+    V, H, W, _ = imgs.shape
+
+    if n_clutter:
+        # background = pixels still at the constant render background
+        bg_mask = np.all(np.abs(imgs - bg) < 1e-3, axis=-1)  # (V, H, W)
+        for v in range(V):
+            for _ in range(n_clutter):
+                ch = int(rng.integers(H // 12, H // 4))
+                cw = int(rng.integers(W // 12, W // 4))
+                y0 = int(rng.integers(0, H - ch))
+                x0 = int(rng.integers(0, W - cw))
+                yy, xx = np.meshgrid(
+                    np.arange(ch), np.arange(cw), indexing="ij"
+                )
+                f = rng.uniform(0.1, 0.7, 2)
+                ph = rng.uniform(0, 2 * np.pi, 3)
+                tex = 0.5 + 0.45 * np.sin(
+                    f[0] * yy[..., None] + f[1] * xx[..., None] + ph
+                )
+                sel = bg_mask[v, y0 : y0 + ch, x0 : x0 + cw]
+                imgs[v, y0 : y0 + ch, x0 : x0 + cw][sel] = tex[sel]
+
+    if exposure_jitter:
+        imgs = imgs * np.exp(
+            rng.normal(0.0, exposure_jitter, (V, 1, 1, 1))
+        ).astype(np.float32)
+    if wb_jitter:
+        imgs = imgs * np.exp(
+            rng.normal(0.0, wb_jitter, (V, 1, 1, 3))
+        ).astype(np.float32)
+    if noise_std:
+        imgs = imgs + rng.normal(0.0, noise_std, imgs.shape)
+    imgs = np.clip(imgs, 0.0, 1.0).astype(np.float32)
+
+    Ps = np.asarray(scene.Ps, np.float64).copy()
+    if calib_sigma_px:
+        duv = rng.normal(0.0, calib_sigma_px, (V, 2))
+        for v in range(V):
+            Ps[v, 0] += duv[v, 0] * Ps[v, 2]
+            Ps[v, 1] += duv[v, 1] * Ps[v, 2]
+
+    return dataclasses.replace(scene, images=imgs, Ps=Ps)
+
+
 def _texture(pts: np.ndarray, center: np.ndarray) -> np.ndarray:
     """High-frequency procedural RGB texture on the surface — photometric
     texture is what makes CVC matching informative."""

@@ -44,11 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _warp_kernel(
     # scalar prefetch (SMEM)
-    window_ref,  # (B, 2) int32: crop origin (v0, u0) per item
+    window_ref,  # (B, 2) int32: crop origin (v0, u0) per item — or, in
+    #           chunk mode, (B, 2*NCh) with this chunk's (v0, u0) at
+    #           columns (2*ci, 2*ci+1)
     Pm_ref,  # (B, 12) f32: row-major 3x4 projection matrix per item
     origin_ref,  # (B, 3) f32: cube origin per item
     # inputs (pipelined per grid step)
-    crop_ref,  # (1, 3, CH, CW) f32 VMEM: this item's image crop
+    crop_ref,  # (1, 3, CH, CW) f32 VMEM: this item's image crop — or, in
+    #           chunk mode, (1, 1, 3, CH, CW): this CHUNK's image window
     # outputs
     out_ref,  # (1, 8, PC) f32 VMEM block: rows 0-2 = RGB, row 3 = valid,
     #           rows 4-7 = padding.  One full-tile store per chunk (earlier
@@ -65,84 +68,30 @@ def _warp_kernel(
     PC: int,
     H: int,
     W: int,
-    SH: int = 0,
-    SW: int = 0,
+    chunk_mode: bool = False,
 ):
     item = pl.program_id(0)
     ci = pl.program_id(1)  # point-chunk index (grid dim 1)
-    v0 = window_ref[item, 0]
-    u0 = window_ref[item, 1]
+    if chunk_mode:
+        # r4 chunk sub-windows: each grid step's PC points are a thin
+        # voxel slab whose projected footprint is a fraction of the
+        # cube's; the streamed block is the slab's own (CH, CW) image
+        # window (computed in XLA at pixel granularity — in-kernel pl.ds
+        # sub-slicing is not an option: Mosaic requires statically-aligned
+        # sublane starts).  The interpolation cost per point is the
+        # window AREA, so this cuts the kernel's MXU+VPU work by the
+        # slab/cube footprint area ratio.
+        v0 = window_ref[item, 2 * ci]
+        u0 = window_ref[item, 2 * ci + 1]
+    else:
+        v0 = window_ref[item, 0]
+        u0 = window_ref[item, 1]
 
     # 3x4 projection matrix + cube origin as SMEM scalars
     Pm = [
         [Pm_ref[item, r * 4 + c] for c in range(4)] for r in range(3)
     ]
     origin = [origin_ref[item, a] for a in range(3)]
-
-    # Chunk sub-window (the r4 gather attack): the PC points of one grid
-    # step are a contiguous voxel SLAB of the cube, whose projected
-    # footprint is far smaller than the whole cube's.  The interpolation
-    # cost per point is the crop AREA (the hat matmul contracts over crop
-    # rows; the VPU reduce runs over crop cols), so restricting each chunk
-    # to its own (SH, SW) sub-window of the item crop cuts the kernel's
-    # MXU+VPU work by the area ratio.  The sub-window origin is computed
-    # here from the slab's 8 projected corners — pure scalar SMEM math —
-    # and the slice is a VMEM pl.ds; no extra DMA.  SH/SW are sized
-    # host-side for the worst slab footprint (auto_chunk_hw).
-    chunked = (0 < SH < CH) or (0 < SW < CW)
-    sh = SH if (chunked and SH > 0) else CH
-    sw = SW if (chunked and SW > 0) else CW
-    if chunked:
-        dd = D * D
-        q0s = ci * PC
-        i0 = q0s // dd
-        i1 = (q0s + PC - 1) // dd
-        in_one_slab = i1 == i0
-        j0 = jnp.where(in_one_slab, (q0s // D) % D, 0)
-        j1 = jnp.where(in_one_slab, ((q0s + PC - 1) // D) % D + 1, D)
-        x0 = origin[0] + s * i0.astype(jnp.float32)
-        x1 = origin[0] + s * (i1 + 1).astype(jnp.float32)
-        y0 = origin[1] + s * j0.astype(jnp.float32)
-        y1 = origin[1] + s * j1.astype(jnp.float32)
-        z0 = origin[2]
-        z1 = origin[2] + s * D
-        big = jnp.float32(1e9)
-        umin = big
-        vmin = big
-        for cx in (x0, x1):
-            for cy in (y0, y1):
-                for cz in (z0, z1):
-                    nu = (
-                        Pm[0][0] * cx + Pm[0][1] * cy + Pm[0][2] * cz
-                        + Pm[0][3]
-                    )
-                    nv = (
-                        Pm[1][0] * cx + Pm[1][1] * cy + Pm[1][2] * cz
-                        + Pm[1][3]
-                    )
-                    de = (
-                        Pm[2][0] * cx + Pm[2][1] * cy + Pm[2][2] * cz
-                        + Pm[2][3]
-                    )
-                    front = de > 1e-6
-                    inv_c = 1.0 / jnp.where(front, de, 1.0)
-                    umin = jnp.minimum(
-                        umin, jnp.where(front, nu * inv_c, big)
-                    )
-                    vmin = jnp.minimum(
-                        vmin, jnp.where(front, nv * inv_c, big)
-                    )
-        # window start: floor(min)-1 covers the bilinear lower neighbor;
-        # clamp into the item crop so the slice stays in bounds.
-        du = jnp.clip(
-            jnp.floor(umin).astype(jnp.int32) - 1 - u0, 0, CW - sw
-        )
-        dv = jnp.clip(
-            jnp.floor(vmin).astype(jnp.int32) - 1 - v0, 0, CH - sh
-        )
-    else:
-        du = jnp.int32(0)
-        dv = jnp.int32(0)
 
     if True:
         q0 = ci * PC
@@ -170,22 +119,22 @@ def _warp_kernel(
         in_img = (
             (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
         )
-        u_loc = u - (u0 + du).astype(jnp.float32)
-        v_loc = v - (v0 + dv).astype(jnp.float32)
+        u_loc = u - u0.astype(jnp.float32)
+        v_loc = v - v0.astype(jnp.float32)
         in_crop = (
             (u_loc >= 0.0)
-            & (u_loc <= sw - 1.0)
+            & (u_loc <= CW - 1.0)
             & (v_loc >= 0.0)
-            & (v_loc <= sh - 1.0)
+            & (v_loc <= CH - 1.0)
         )
         ok = (infront & in_img & in_crop).astype(jnp.float32)  # (1, PC)
 
-        # hat weights: (sh, PC) and (sw, PC).  iota must be integer on TPU.
-        hrow = jax.lax.broadcasted_iota(jnp.int32, (sh, PC), 0).astype(
+        # hat weights: (CH, PC) and (CW, PC).  iota must be integer on TPU.
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (CH, PC), 0).astype(
             jnp.float32
         )
         hatV = jnp.maximum(0.0, 1.0 - jnp.abs(v_loc - hrow))
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (sw, PC), 0).astype(
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (CW, PC), 0).astype(
             jnp.float32
         )
         hatW = jnp.maximum(0.0, 1.0 - jnp.abs(u_loc - wrow))
@@ -210,8 +159,8 @@ def _warp_kernel(
         else:
             hatVc = hatV.astype(dt)
         for c in range(3):
-            if chunked:
-                plane = crop_ref[0, c, pl.ds(dv, sh), pl.ds(du, sw)]
+            if chunk_mode:
+                plane = crop_ref[0, 0, c]  # (CH, CW) chunk window
             else:
                 plane = crop_ref[0, c]  # (CH, CW)
             T = jax.lax.dot_general(
@@ -265,6 +214,73 @@ def _compute_windows(
     return jnp.stack([v0, u0], axis=-1)
 
 
+def _chunk_boxes(D: int, PC: int, n_chunks: int):
+    """Static slab geometry for chunk-window mode.
+
+    Returns (off_vox (NCh, 3) float64 voxel offsets of each chunk's box
+    within the cube, ext_vox (3,) common voxel extent).  Points are
+    raster-ordered (i-major) and PC divides D^3, so chunk c starts at
+    voxel id c*PC: a whole number of slabs when PC >= D^2, else a j-band
+    of one slab (q0 is a multiple of PC, so the band never wraps).
+    """
+    q0 = np.arange(n_chunks) * PC
+    i0 = q0 // (D * D)
+    j0 = (q0 // D) % D
+    off = np.stack([i0, j0, np.zeros_like(i0)], -1).astype(np.float64)
+    return off, chunk_voxel_extent(D, PC)
+
+
+def _compute_chunk_windows(
+    Ps_item: jnp.ndarray,  # (B, 3, 4)
+    origins: jnp.ndarray,  # (B, 3)
+    slab_off_mm: jnp.ndarray,  # (NCh, 3) f32
+    ext_mm: Tuple[float, float, float],
+    H: int,
+    W: int,
+    SH: int,
+    SW: int,
+) -> jnp.ndarray:
+    """Per-(item, chunk) window origins (v0, u0): projected slab bbox.
+
+    Same scheme as _compute_windows, at slab granularity: the bbox of the
+    8 projected box corners (exact for a convex box when all corners are
+    in front), anchored at floor(min)-1 for the bilinear lower neighbor,
+    clamped on-image.  Points a clamped/overflowed window cannot cover
+    come back invalid from the kernel — identical semantics to the
+    per-item crop window.
+    """
+    offs = jnp.array(
+        [
+            [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+            [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+        ],
+        jnp.float32,
+    )
+    e = jnp.asarray(ext_mm, jnp.float32)
+    corners = (
+        origins[:, None, None, :]
+        + slab_off_mm[None, :, None, :]
+        + offs[None, None] * e[None, None, None]
+    )  # (B, NCh, 8, 3)
+    ones = jnp.ones((*corners.shape[:-1], 1), jnp.float32)
+    ph = jnp.einsum(
+        "bnci,bji->bncj", jnp.concatenate([corners, ones], -1), Ps_item,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, NCh, 8, 3)
+    w = ph[..., 2]
+    uv = ph[..., :2] / (w[..., None] + 1e-8)
+    big = jnp.float32(1e9)
+    u_min = jnp.min(jnp.where(w > 0, uv[..., 0], big), axis=-1)
+    v_min = jnp.min(jnp.where(w > 0, uv[..., 1], big), axis=-1)
+    u0 = jnp.clip(
+        jnp.floor(u_min).astype(jnp.int32) - 1, 0, max(W - SW, 0)
+    )
+    v0 = jnp.clip(
+        jnp.floor(v_min).astype(jnp.int32) - 1, 0, max(H - SH, 0)
+    )
+    return jnp.stack([v0, u0], axis=-1)  # (B, NCh, 2)
+
+
 # Per-call item cap: Mosaic pads every scalar-prefetch operand to one
 # 512 B sublane row per item in SMEM, so 3 operands cost ~1.5 KB/item
 # against the 1 MB SMEM budget — 960 items fails to compile (OOM at
@@ -316,20 +332,28 @@ def warp_gather_pallas(
 
     Batches larger than ``GATHER_ITEM_CHUNK`` items are dispatched as
     multiple kernel calls to stay inside the SMEM scalar-prefetch budget
-    (see the constant's comment); results are identical.
+    (see the constant's comment); results are identical.  Chunk-window
+    mode carries a (2*NCh)-column window row per item in SMEM, so its
+    per-call cap shrinks when NCh = D^3/PC is large.
     """
     B = view_idx.shape[0]
-    if B <= GATHER_ITEM_CHUNK:
+    cap = GATHER_ITEM_CHUNK
+    if chunk_hw[0] > 0 and chunk_hw[1] > 0:
+        n_chunks = (D * D * D) // min(PC, D * D * D)
+        cap = max(
+            1, min(cap, 700_000 // (1024 + max(512, 8 * n_chunks)))
+        )
+    if B <= cap:
         return _warp_gather_chunk(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
             interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
         )
     cs, vs = [], []
-    for b0 in range(0, B, GATHER_ITEM_CHUNK):
+    for b0 in range(0, B, cap):
         c, v = _warp_gather_chunk(
             images, Ps,
-            view_idx[b0 : b0 + GATHER_ITEM_CHUNK],
-            origins[b0 : b0 + GATHER_ITEM_CHUNK],
+            view_idx[b0 : b0 + cap],
+            origins[b0 : b0 + cap],
             D=D, s=s, CH=CH, CW=CW, PC=PC,
             interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
         )
@@ -368,45 +392,96 @@ def _warp_gather_chunk(
         raise ValueError(f"D^3={D3} must be divisible by PC={PC}")
 
     Ps_item = Ps[view_idx]  # (B, 3, 4)
-    windows = _compute_windows(
-        Ps_item, origins, D * s, H, W, CH, CW
-    )  # (B, 2) int32
-
-    # XLA-side crop extraction; the pallas pipeline streams these per item.
-    def crop_one(vi, win):
-        return jax.lax.dynamic_slice(
-            images_planar[vi], (0, win[0], win[1]), (3, CH, CW)
-        )
-
-    crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
-    if in_dtype == jnp.int8:
-        # sources are [0,1] images (8-bit upstream); 7-bit quantization
-        crops = jnp.round(crops * 127.0).astype(jnp.int8)
-    else:
-        crops = crops.astype(in_dtype)
-
-    # 2D grid: (item, point-chunk).  Output blocks are per-chunk so VMEM
-    # stays bounded at any D (64^3 would need a 25 MB per-item block
-    # otherwise); the crop's index map ignores the chunk axis, so the
-    # pipeline fetches each item's crop once and reuses it across chunks.
     n_chunks = D3 // PC
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
-        ],
-    )
+    chunked = 0 < chunk_hw[0] and 0 < chunk_hw[1]
 
-    SH = min(chunk_hw[0], CH) if chunk_hw[0] > 0 else 0
-    SW = min(chunk_hw[1], CW) if chunk_hw[1] > 0 else 0
-    kernel = functools.partial(
-        _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W,
-        SH=SH, SW=SW,
-    )
+    def cast_crops(c):
+        if in_dtype == jnp.int8:
+            # sources are [0,1] images (8-bit upstream); 7-bit quantization
+            return jnp.round(c * 127.0).astype(jnp.int8)
+        return c.astype(in_dtype)
+
+    if chunked:
+        # r4 chunk-window mode: one (SH, SW) image window per (item,
+        # point-chunk), extracted in XLA at pixel granularity and streamed
+        # as the pipeline block — the kernel's per-point cost becomes the
+        # SLAB footprint area instead of the cube's (see _warp_kernel).
+        SH = min(chunk_hw[0], H)
+        SW = min(chunk_hw[1], W)
+        off_vox, ext_vox = _chunk_boxes(D, PC, n_chunks)
+        wins = _compute_chunk_windows(
+            Ps_item, origins, jnp.asarray(off_vox * s, jnp.float32),
+            tuple(float(e * s) for e in ext_vox), H, W, SH, SW,
+        )  # (B, NCh, 2) int32 [v0, u0]
+
+        flat_wins = wins.reshape(B * n_chunks, 2)
+        flat_views = jnp.repeat(view_idx, n_chunks)
+
+        def crop_chunk(vi, win):
+            return jax.lax.dynamic_slice(
+                images_planar[vi], (0, win[0], win[1]), (3, SH, SW)
+            )
+
+        crops = jax.vmap(crop_chunk)(flat_views, flat_wins).reshape(
+            B, n_chunks, 3, SH, SW
+        )
+        crops = cast_crops(crops)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, n_chunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 3, SH, SW), lambda i, c, *_: (i, c, 0, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
+            ],
+        )
+        kernel = functools.partial(
+            _warp_kernel, D=D, s=s, CH=SH, CW=SW, PC=PC, H=H, W=W,
+            chunk_mode=True,
+        )
+        # windows packed (B, 2*NCh) so SMEM stays one row per ITEM
+        # (Mosaic pads each scalar-prefetch row to >= 512 B; a flat
+        # (B*NCh, 2) layout would cost 512 B per CHUNK and blow the
+        # 1 MB SMEM budget at production batch sizes).
+        scalar_windows = wins.reshape(B, 2 * n_chunks)
+    else:
+        windows = _compute_windows(
+            Ps_item, origins, D * s, H, W, CH, CW
+        )  # (B, 2) int32
+
+        # XLA-side crop extraction; the pipeline streams these per item.
+        def crop_one(vi, win):
+            return jax.lax.dynamic_slice(
+                images_planar[vi], (0, win[0], win[1]), (3, CH, CW)
+            )
+
+        crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
+        crops = cast_crops(crops)
+
+        # 2D grid: (item, point-chunk).  Output blocks are per-chunk so
+        # VMEM stays bounded at any D (64^3 would need a 25 MB per-item
+        # block otherwise); the crop's index map ignores the chunk axis,
+        # so the pipeline fetches each item's crop once and reuses it
+        # across chunks.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
+            ],
+        )
+        kernel = functools.partial(
+            _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
+        )
+        scalar_windows = windows
+
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -415,7 +490,7 @@ def _warp_gather_chunk(
         ],
         interpret=interpret,
     )(
-        windows,
+        scalar_windows,
         Ps_item.reshape(B, 12).astype(jnp.float32),
         origins.astype(jnp.float32),
         crops,
@@ -638,8 +713,8 @@ def auto_chunk_hw(
     # +4: one bilinear neighbor each side + the kernel's floor-1 anchor.
     SH = int(np.ceil((dv * margin + 4) / 8) * 8)
     SW = int(np.ceil((du * margin + 4) / 8) * 8)
-    SH = int(np.clip(SH, 8, 512))
-    SW = int(np.clip(SW, 8, 512))
+    SH = int(np.clip(SH, 8, min(512, H)))
+    SW = int(np.clip(SW, 8, min(512, W)))
     return SH, SW
 
 

@@ -79,21 +79,9 @@ def halo_exchange(
     return f(vol)
 
 
-def boundary_sum(
-    mesh: Mesh,
-    partial_vals: jnp.ndarray,
-    axis_name: str = "cube",
-) -> jnp.ndarray:
-    """All-reduce partial boundary-voxel contributions across an axis.
-
-    Used when different devices computed view-pair subsets of the same cube
-    (pair-parallel fusion): p = psum(w*p) / psum(w) happens in the caller;
-    this is the bare psum collective wrapped for shard_map use.
-    """
-    f = shard_map(
-        lambda x: jax.lax.psum(x, axis_name),
-        mesh=mesh,
-        in_specs=P(axis_name),
-        out_specs=P(),
-    )
-    return f(partial_vals)
+# Note: an earlier ``boundary_sum`` psum wrapper for pair-parallel fusion
+# was removed (VERDICT r3 weak #6): after top-Nv selection the pair axis
+# is at most ~5 wide — far narrower than the cube axis — so sharding it
+# would idle devices, and the path was never built.  dp over cubes plus
+# the block axis (windowed pooling + core claiming, zero-communication
+# exact) covers the production parallelism; see parallel/sweep_sharded.py.

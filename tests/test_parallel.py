@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from surfacenet_tpu.parallel.halo import boundary_sum, halo_exchange
+from surfacenet_tpu.parallel.halo import halo_exchange
 from surfacenet_tpu.parallel.mesh import (
     block_sharded,
     cube_sharded,
@@ -50,14 +50,6 @@ def test_halo_exchange_width2():
     exp1 = np.concatenate([ref[2:4], ref[4:8], np.zeros((2, 2, 2))], axis=0)
     assert np.allclose(out[:8], exp0)
     assert np.allclose(out[8:], exp1)
-
-
-def test_boundary_sum():
-    m = make_mesh(n_block=1)  # 8 devices on the cube axis
-    x = jnp.arange(8.0)
-    x = jax.device_put(x, NamedSharding(m, P("cube")))
-    out = np.asarray(boundary_sum(m, x))
-    assert np.allclose(out, np.arange(8.0).sum())
 
 
 def test_sharded_cube_batch_matches_single_device(small_scene):
