@@ -66,27 +66,58 @@ def main():
             scene.Ps, scene.bbox_min, scene.bbox_max, td, s, hw
         )
 
-        @jax.jit
-        def base():
-            return warp_gather_tiled(
-                images, Ps, views, origins, D=D, s=s,
-                CH=crop_t[0], CW=crop_t[1],
-            )
+        for PC in (1024, 2048, 4096, 8192):
 
-        ms = time_ms(base)
-        row = {
-            "D": D, "B": B, "variant": "r3_full_crop_tiled",
-            "tile_d": td, "crop_hw": list(crop_t),
-            "ms": round(ms, 2), "items_per_s": round(B / ms * 1000, 1),
-        }
-        P(str(row))
-        rec["rows"].append(row)
+            @jax.jit
+            def base(PC=PC):
+                return warp_gather_tiled(
+                    images, Ps, views, origins, D=D, s=s,
+                    CH=crop_t[0], CW=crop_t[1], PC=PC,
+                )
+
+            try:
+                ms = time_ms(base)
+            except Exception as e:
+                P(f"  item-mode PC={PC} failed: {e!r}"[:200])
+                continue
+            row = {
+                "D": D, "B": B, "variant": "r3_full_crop_tiled",
+                "tile_d": td, "PC": PC, "crop_hw": list(crop_t),
+                "ms": round(ms, 2),
+                "items_per_s": round(B / ms * 1000, 1),
+            }
+            P(str(row))
+            rec["rows"].append(row)
+
+        # fused 1D-grid kernel: one grid step per item (tiled at D>32)
+        for PC in (512, 1024, 2048):
+
+            @jax.jit
+            def fused(PC=PC):
+                return warp_gather_tiled(
+                    images, Ps, views, origins, D=D, s=s,
+                    CH=crop_t[0], CW=crop_t[1], PC=PC, fused=True,
+                )
+
+            try:
+                ms = time_ms(fused)
+            except Exception as e:
+                P(f"  fused PC={PC} failed: {e!r}"[:200])
+                continue
+            row = {
+                "D": D, "B": B, "variant": "r4_fused_1d",
+                "tile_d": td, "PC": PC, "crop_hw": list(crop_t),
+                "ms": round(ms, 2),
+                "items_per_s": round(B / ms * 1000, 1),
+            }
+            P(str(row))
+            rec["rows"].append(row)
 
         # chunk windows: full-cube crop, one dispatch, several PC
         crop_f = auto_crop_hw(
             scene.Ps, scene.bbox_min, scene.bbox_max, D, s, hw
         )
-        for PC in (2048, 1024, 512, 256):
+        for PC in (8192, 4096, 2048):
             if D**3 % PC:
                 continue
             chw = auto_chunk_hw(

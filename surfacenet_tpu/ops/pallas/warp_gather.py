@@ -181,6 +181,111 @@ def _warp_kernel(
         )  # (8, PC)
 
 
+def _warp_kernel_fused(
+    # scalar prefetch (SMEM)
+    window_ref,  # (B, 2) int32: crop origin (v0, u0) per item
+    Pm_ref,  # (B, 12) f32
+    origin_ref,  # (B, 3) f32
+    # inputs
+    crop_ref,  # (1, 3, CH, CW) VMEM: this item's crop
+    # outputs
+    out_ref,  # (1, 8, D^3) f32 VMEM: the item's ENTIRE output
+    *,
+    D: int,
+    s: float,
+    CH: int,
+    CW: int,
+    PC: int,
+    H: int,
+    W: int,
+):
+    """1D-grid variant: ONE grid step per item; the point chunks run as a
+    fully-unrolled in-kernel loop with static store offsets.
+
+    The 2D (item, chunk) grid pays a fixed per-grid-step cost (grid
+    sequencing + block DMA bookkeeping) measured at ~2 us on v5e — at
+    32 chunks/item that floor IS the gather's cost (the interpolation
+    math is cheaper than the steps).  Fusing the chunk loop into the
+    kernel leaves one step per item: the crop is fetched once, every
+    chunk's q0/iota/store offset is a compile-time constant, and the
+    only per-item output is a single (8, D^3) store.  VMEM bounds this
+    to D^3 <= 32^3 (1 MB out block); larger cubes go through sub-cube
+    tiling (gather_tile_d), which the production sweep already does.
+    """
+    item = pl.program_id(0)
+    v0 = window_ref[item, 0]
+    u0 = window_ref[item, 1]
+    Pm = [
+        [Pm_ref[item, r * 4 + c] for c in range(4)] for r in range(3)
+    ]
+    origin = [origin_ref[item, a] for a in range(3)]
+    dt = crop_ref.dtype
+    int8_mode = dt == jnp.int8
+
+    for ci in range(D * D * D // PC):
+        q0 = ci * PC  # static
+        q = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, PC), 1)
+        i = q // (D * D)
+        j = (q // D) % D
+        k = q % D
+        fx = origin[0] + s * (i.astype(jnp.float32) + 0.5)
+        fy = origin[1] + s * (j.astype(jnp.float32) + 0.5)
+        fz = origin[2] + s * (k.astype(jnp.float32) + 0.5)
+        num_u = Pm[0][0] * fx + Pm[0][1] * fy + Pm[0][2] * fz + Pm[0][3]
+        num_v = Pm[1][0] * fx + Pm[1][1] * fy + Pm[1][2] * fz + Pm[1][3]
+        den = Pm[2][0] * fx + Pm[2][1] * fy + Pm[2][2] * fz + Pm[2][3]
+        d = den + 1e-8
+        inv = pl.reciprocal(d, approx=False)
+        inv = inv * (2.0 - d * inv)
+        u = num_u * inv
+        v = num_v * inv
+        infront = den > 0.0
+        in_img = (
+            (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
+        )
+        u_loc = u - u0.astype(jnp.float32)
+        v_loc = v - v0.astype(jnp.float32)
+        in_crop = (
+            (u_loc >= 0.0)
+            & (u_loc <= CW - 1.0)
+            & (v_loc >= 0.0)
+            & (v_loc <= CH - 1.0)
+        )
+        ok = (infront & in_img & in_crop).astype(jnp.float32)
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (CH, PC), 0).astype(
+            jnp.float32
+        )
+        hatV = jnp.maximum(0.0, 1.0 - jnp.abs(v_loc - hrow))
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (CW, PC), 0).astype(
+            jnp.float32
+        )
+        hatW = jnp.maximum(0.0, 1.0 - jnp.abs(u_loc - wrow))
+        rows = []
+        if int8_mode:
+            hatVc = jnp.round(hatV * 127.0).astype(jnp.int8)
+            dequant = 1.0 / (127.0 * 127.0)
+        else:
+            hatVc = hatV.astype(dt)
+        for c in range(3):
+            plane = crop_ref[0, c]
+            T = jax.lax.dot_general(
+                plane,
+                hatVc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=(
+                    jnp.int32 if int8_mode else jnp.float32
+                ),
+            )
+            if int8_mode:
+                T = T.astype(jnp.float32) * dequant
+            val = jnp.sum(T * hatW, axis=0, keepdims=True)
+            rows.append(val * ok)
+        rows.append(ok)
+        out_ref[0, :, q0 : q0 + PC] = jnp.concatenate(
+            rows + [jnp.zeros((4, PC), jnp.float32)], axis=0
+        )
+
+
 def _compute_windows(
     Ps_item: jnp.ndarray,  # (B, 3, 4)
     origins: jnp.ndarray,  # (B, 3)
@@ -304,8 +409,14 @@ def warp_gather_pallas(
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
     chunk_hw: Tuple[int, int] = (0, 0),
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas CVC gather for a batch of (cube, view) work items.
+
+    ``fused`` selects the 1D-grid kernel (_warp_kernel_fused): one grid
+    step per item with the chunk loop unrolled in-kernel — removes the
+    ~2 us/grid-step floor that dominates the 2D grid at production sizes.
+    Requires D^3 <= 32768 (the per-item output block must fit VMEM).
 
     ``chunk_hw`` = (SH, SW) > 0 enables per-point-chunk sub-windows of the
     item crop (see _warp_kernel): the kernel's per-point cost drops from
@@ -347,6 +458,7 @@ def warp_gather_pallas(
         return _warp_gather_chunk(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
             interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
+            fused=fused,
         )
     cs, vs = [], []
     for b0 in range(0, B, cap):
@@ -356,6 +468,7 @@ def warp_gather_pallas(
             origins[b0 : b0 + cap],
             D=D, s=s, CH=CH, CW=CW, PC=PC,
             interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
+            fused=fused,
         )
         cs.append(c)
         vs.append(v)
@@ -366,6 +479,7 @@ def warp_gather_pallas(
     jax.jit,
     static_argnames=(
         "D", "s", "CH", "CW", "PC", "interpret", "in_dtype", "chunk_hw",
+        "fused",
     ),
 )
 def _warp_gather_chunk(
@@ -382,6 +496,7 @@ def _warp_gather_chunk(
     interpret: bool,
     in_dtype,
     chunk_hw: Tuple[int, int] = (0, 0),
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     V, H, W, _ = images.shape
     images_planar = jnp.moveaxis(images, -1, 1)  # (V, 3, H, W)
@@ -395,11 +510,17 @@ def _warp_gather_chunk(
     n_chunks = D3 // PC
     chunked = 0 < chunk_hw[0] and 0 < chunk_hw[1]
 
-    def cast_crops(c):
-        if in_dtype == jnp.int8:
-            # sources are [0,1] images (8-bit upstream); 7-bit quantization
-            return jnp.round(c * 127.0).astype(jnp.int8)
-        return c.astype(in_dtype)
+    # cast/quantize ONCE at image granularity, then slice windows out of
+    # the cast array with a single 4D dynamic_slice per row.  (An earlier
+    # form indexed images_planar[vi] inside the vmap'd slice; its batching
+    # rule materializes the SELECTED IMAGE per row — B*NCh * 5.8 MB = up
+    # to hundreds of GB at chunk granularity.  A 4D-start slice lowers to
+    # one gather-of-slices: output-sized memory only.)
+    if in_dtype == jnp.int8:
+        # sources are [0,1] images (8-bit upstream); 7-bit quantization
+        images_cast = jnp.round(images_planar * 127.0).astype(jnp.int8)
+    else:
+        images_cast = images_planar.astype(in_dtype)
 
     if chunked:
         # r4 chunk-window mode: one (SH, SW) image window per (item,
@@ -419,13 +540,12 @@ def _warp_gather_chunk(
 
         def crop_chunk(vi, win):
             return jax.lax.dynamic_slice(
-                images_planar[vi], (0, win[0], win[1]), (3, SH, SW)
-            )
+                images_cast, (vi, 0, win[0], win[1]), (1, 3, SH, SW)
+            )[0]
 
         crops = jax.vmap(crop_chunk)(flat_views, flat_wins).reshape(
             B, n_chunks, 3, SH, SW
         )
-        crops = cast_crops(crops)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -456,30 +576,56 @@ def _warp_gather_chunk(
         # XLA-side crop extraction; the pipeline streams these per item.
         def crop_one(vi, win):
             return jax.lax.dynamic_slice(
-                images_planar[vi], (0, win[0], win[1]), (3, CH, CW)
-            )
+                images_cast, (vi, 0, win[0], win[1]), (1, 3, CH, CW)
+            )[0]
 
         crops = jax.vmap(crop_one)(view_idx, windows)  # (B, 3, CH, CW)
-        crops = cast_crops(crops)
 
-        # 2D grid: (item, point-chunk).  Output blocks are per-chunk so
-        # VMEM stays bounded at any D (64^3 would need a 25 MB per-item
-        # block otherwise); the crop's index map ignores the chunk axis,
-        # so the pipeline fetches each item's crop once and reuses it
-        # across chunks.
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(B, n_chunks),
-            in_specs=[
-                pl.BlockSpec((1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
-            ],
-        )
-        kernel = functools.partial(
-            _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
-        )
+        if fused:
+            # 1D grid: one step per ITEM, chunk loop unrolled in-kernel
+            # (removes the ~2 us/grid-step floor; see _warp_kernel_fused)
+            if D3 > 32768:
+                raise ValueError(
+                    f"fused gather needs D^3 <= 32768 (out block VMEM); "
+                    f"D={D} — use sub-cube tiling (warp_gather_tiled)"
+                )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 3, CH, CW), lambda i, *_: (i, 0, 0, 0)
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 8, D3), lambda i, *_: (i, 0, 0)),
+                ],
+            )
+            kernel = functools.partial(
+                _warp_kernel_fused, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H,
+                W=W,
+            )
+        else:
+            # 2D grid: (item, point-chunk).  Output blocks are per-chunk
+            # so VMEM stays bounded at any D (64^3 would need a 25 MB
+            # per-item block otherwise); the crop's index map ignores the
+            # chunk axis, so the pipeline fetches each item's crop once
+            # and reuses it across chunks.
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B, n_chunks),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 3, CH, CW), lambda i, c, *_: (i, 0, 0, 0)
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 8, PC), lambda i, c, *_: (i, 0, c)),
+                ],
+            )
+            kernel = functools.partial(
+                _warp_kernel, D=D, s=s, CH=CH, CW=CW, PC=PC, H=H, W=W
+            )
         scalar_windows = windows
 
     (out,) = pl.pallas_call(
@@ -534,6 +680,7 @@ def warp_gather_tiled(
     in_dtype=jnp.bfloat16,
     tile_d: int = 0,
     chunk_hw: Tuple[int, int] = (0, 0),
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``warp_gather_pallas`` with sub-cube tiling for large D (see
     ``gather_tile_d``).  One kernel program (at the tile size) is traced
@@ -556,6 +703,7 @@ def warp_gather_tiled(
         return warp_gather_pallas(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
             interpret=interpret, in_dtype=in_dtype, chunk_hw=chunk_hw,
+            fused=fused,
         )
     t = D // td
     B = view_idx.shape[0]
@@ -569,7 +717,7 @@ def warp_gather_tiled(
                 c, v = warp_gather_pallas(
                     images, Ps, view_idx, origins + off, D=td, s=s,
                     CH=CH, CW=CW, PC=PC, interpret=interpret,
-                    in_dtype=in_dtype, chunk_hw=chunk_hw,
+                    in_dtype=in_dtype, chunk_hw=chunk_hw, fused=fused,
                 )
                 cs.append(c)
                 vs.append(v)
