@@ -123,9 +123,11 @@ def main():
     chunk_hw = (0, 0)
     if on_tpu:
         from surfacenet_tpu.ops.pallas.warp_gather import (
-            auto_chunk_hw, auto_crop_hw,
+            auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
+        # r4 production gather policy (results/gather_chunk_r04.json):
+        # tile at gather_tile_d(D), slab chunk windows at PC=8192
         crop_hw = auto_crop_hw(
             scene.Ps, scene.bbox_min, scene.bbox_max, D,
             cfg.voxel.voxel_size_mm, hw,
@@ -133,7 +135,7 @@ def main():
         if cfg.sweep.gather_chunk_windows:
             chunk_hw = auto_chunk_hw(
                 scene.Ps, scene.bbox_min, scene.bbox_max, D,
-                cfg.voxel.voxel_size_mm, hw,
+                cfg.voxel.voxel_size_mm, hw, PC=min(D**3, 8192),
             )
     else:
         crop_hw = (192, 256)
@@ -238,23 +240,16 @@ def main():
         )
         kw64 = dict(kw, D=D64)
         if on_tpu:
-            from surfacenet_tpu.ops.pallas.warp_gather import gather_tile_d
-
+            td64 = gather_tile_d(D64)
+            kw64["crop_hw"] = auto_crop_hw(
+                scene.Ps, scene.bbox_min, scene.bbox_max, td64,
+                cfg.voxel.voxel_size_mm, hw,
+            )
             if cfg.sweep.gather_chunk_windows:
-                # one dispatch: full-cube crop + slab sub-windows
-                kw64["crop_hw"] = auto_crop_hw(
-                    scene.Ps, scene.bbox_min, scene.bbox_max, D64,
-                    cfg.voxel.voxel_size_mm, hw,
-                )
+                # tiled sub-cubes + slab windows sized for the tile
                 kw64["chunk_hw"] = auto_chunk_hw(
-                    scene.Ps, scene.bbox_min, scene.bbox_max, D64,
-                    cfg.voxel.voxel_size_mm, hw,
-                )
-            else:
-                kw64["crop_hw"] = auto_crop_hw(
-                    scene.Ps, scene.bbox_min, scene.bbox_max,
-                    gather_tile_d(D64),
-                    cfg.voxel.voxel_size_mm, hw,
+                    scene.Ps, scene.bbox_min, scene.bbox_max, td64,
+                    cfg.voxel.voxel_size_mm, hw, PC=min(td64**3, 8192),
                 )
         uniq64, slot64 = dedup_view_slots(pair_idx64)
         args64 = (

@@ -66,7 +66,7 @@ def main():
             scene.Ps, scene.bbox_min, scene.bbox_max, td, s, hw
         )
 
-        for PC in (1024, 2048, 4096, 8192):
+        for PC in (1024, 8192):
 
             @jax.jit
             def base(PC=PC):
@@ -113,11 +113,40 @@ def main():
             P(str(row))
             rec["rows"].append(row)
 
+        if D > 32:
+            # tiled + chunk windows: windows sized for the TILE's slabs
+            chw_t = auto_chunk_hw(
+                scene.Ps, scene.bbox_min, scene.bbox_max, td, s, hw,
+                PC=8192,
+            )
+
+            @jax.jit
+            def tiled_chunk():
+                return warp_gather_tiled(
+                    images, Ps, views, origins, D=D, s=s,
+                    CH=crop_t[0], CW=crop_t[1], PC=8192, chunk_hw=chw_t,
+                )
+
+            try:
+                ms = time_ms(tiled_chunk)
+                row = {
+                    "D": D, "B": B, "variant": "r4_tiled_chunk_windows",
+                    "tile_d": td, "PC": 8192, "crop_hw": list(crop_t),
+                    "chunk_hw": list(chw_t), "ms": round(ms, 2),
+                    "items_per_s": round(B / ms * 1000, 1),
+                }
+                P(str(row))
+                rec["rows"].append(row)
+            except Exception as e:
+                P(f"  tiled+chunk failed: {e!r}"[:200])
+
         # chunk windows: full-cube crop, one dispatch, several PC
+        # (measured a loser at D>32 — slab windows approach the cube
+        # footprint while paying per-chunk DMA; tiling handles large D)
         crop_f = auto_crop_hw(
             scene.Ps, scene.bbox_min, scene.bbox_max, D, s, hw
         )
-        for PC in (8192, 4096, 2048):
+        for PC in (8192, 4096) if D <= 32 else ():
             if D**3 % PC:
                 continue
             chw = auto_chunk_hw(

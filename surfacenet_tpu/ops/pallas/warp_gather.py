@@ -405,13 +405,18 @@ def warp_gather_pallas(
     s: float,
     CH: int = 192,
     CW: int = 256,
-    PC: int = 1024,
+    PC: int = 0,
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
     chunk_hw: Tuple[int, int] = (0, 0),
     fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas CVC gather for a batch of (cube, view) work items.
+
+    PC <= 0 resolves to the measured production policy — min(D^3, 8192)
+    with chunk windows, min(D^3, 1024) without — which MATCHES
+    auto_chunk_hw's default window sizing; pass PC explicitly only
+    together with an auto_chunk_hw(PC=...) sized for the same value.
 
     ``fused`` selects the 1D-grid kernel (_warp_kernel_fused): one grid
     step per item with the chunk loop unrolled in-kernel — removes the
@@ -448,8 +453,11 @@ def warp_gather_pallas(
     per-call cap shrinks when NCh = D^3/PC is large.
     """
     B = view_idx.shape[0]
+    chunked_mode = chunk_hw[0] > 0 and chunk_hw[1] > 0
+    if PC <= 0:
+        PC = min(D**3, 8192 if chunked_mode else 1024)
     cap = GATHER_ITEM_CHUNK
-    if chunk_hw[0] > 0 and chunk_hw[1] > 0:
+    if chunked_mode:
         n_chunks = (D * D * D) // min(PC, D * D * D)
         cap = max(
             1, min(cap, 700_000 // (1024 + max(512, 8 * n_chunks)))
@@ -675,7 +683,7 @@ def warp_gather_tiled(
     s: float,
     CH: int = 192,
     CW: int = 256,
-    PC: int = 1024,
+    PC: int = 0,
     interpret: bool = False,
     in_dtype=jnp.bfloat16,
     tile_d: int = 0,
@@ -689,16 +697,22 @@ def warp_gather_tiled(
 
     tile_d > 0 overrides the default tile choice: finer tiles shrink the
     crop footprint (the kernel's per-point matmul cost is CH*CW), at the
-    price of (D/tile_d)^3 kernel dispatches.  With ``chunk_hw`` set
-    (the r4 per-chunk sub-window path) the per-point cost is SH*SW
-    regardless of the cube's footprint, so tiling is unnecessary —
-    callers should pass tile_d=D (one dispatch) and size chunk_hw via
-    ``auto_chunk_hw``; the sweep does this automatically.
+    price of (D/tile_d)^3 kernel dispatches.  ``chunk_hw`` (auto_chunk_hw
+    at the TILE size) additionally restricts each point chunk to its
+    slab's footprint — the r4 production policy is tiling + chunk
+    windows at PC=8192, measured fastest at both 32^3 (8.05 vs 10.8 ms
+    per 160 items) and 64^3 (37.1 vs 52.0 ms per 120 items) on v5e
+    (results/gather_chunk_r04.json).  PC <= 0 resolves to that policy's
+    value: min(tile^3, 8192) with chunk windows, 1024 without (the 2D
+    grid's hat matrices at the full crop bound VMEM otherwise).
     CH/CW must be sized for the tile (auto_crop_hw at tile_d).
     """
     td = tile_d if tile_d > 0 else gather_tile_d(D)
     if D % td:
         raise ValueError(f"tile_d={td} must divide D={D}")
+    if PC <= 0:
+        chunked = 0 < chunk_hw[0] and 0 < chunk_hw[1]
+        PC = min(td**3, 8192 if chunked else 1024)
     if td == D:
         return warp_gather_pallas(
             images, Ps, view_idx, origins, D=D, s=s, CH=CH, CW=CW, PC=PC,
@@ -809,10 +823,14 @@ def auto_chunk_hw(
     D: int,
     s: float,
     image_hw,
-    PC: int = 1024,
+    PC: int = 0,
     margin: float = 1.15,
 ) -> Tuple[int, int]:
     """Pick (SH, SW) to cover the largest CHUNK (slab) footprint.
+
+    PC <= 0 resolves to the gather's chunk-window policy value
+    (min(D^3, 8192)) so default-sized windows always match the
+    default-PC kernel; pass PC explicitly only in matched pairs.
 
     The r4 gather attack: the kernel's per-point interpolation cost is the
     window AREA, and one grid step's PC points are a thin slab of the
@@ -825,6 +843,8 @@ def auto_chunk_hw(
     bbox_min = np.asarray(bbox_min, np.float64)
     bbox_max = np.asarray(bbox_max, np.float64)
     H, W = image_hw
+    if PC <= 0:
+        PC = min(D**3, 8192)
     ext = np.array(chunk_voxel_extent(D, PC), np.float64) * s
     lin = [
         np.linspace(bbox_min[a], max(bbox_max[a] - ext[a], bbox_min[a]), 5)

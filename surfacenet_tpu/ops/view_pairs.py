@@ -330,17 +330,26 @@ def consensus_gates(
     valid: np.ndarray,
     z_clip: float = 4.0,
     mad_floor: float = 0.02,
+    z_dead: float = 2.0,
+    sharpness: float = 2.0,
 ) -> np.ndarray:
-    """Robust per-cube view gates in (0, 1) from consensus scores.
+    """Robust per-cube view gates in (0, 1] from consensus scores.
 
     Within each cube, z-score each view's consensus against the cube's
-    median/MAD over valid views and squash with a sigmoid: majority views
-    sit near 0.5 (selection falls back to geometry — gates are only
-    *relative* within a cube since top-k is scale-invariant), outlier
-    (occluded/specular) views are driven toward 0 and out of the top-Nv.
-    MAD is floored (``mad_floor``, on the similarity scale — set to the
-    measured per-probe embedding noise on clean scenes) so a cube where
-    all views genuinely agree does not amplify noise into fake outliers.
+    median/MAD over valid views, then squash ONE-SIDEDLY with a deadband
+    (VERDICT r3 next #4 — the production ``--pairnet`` default must be
+    no-worse-than-geometric on clean scenes): every view with z >= 0
+    gets the same near-1 gate (pair ranking collapses to pure geometry
+    when no outliers exist — clean scenes are provably unchanged up to
+    top-k ties), views inside the deadband (-z_dead < z < 0) stay near
+    1, and only CONFIDENT outliers (z < -z_dead: occluded / specular
+    views) are driven toward 0 and out of the top-Nv.  The r3 two-sided
+    sigmoid amplified per-probe embedding noise into a measured +6%
+    clean-sphere regression; the deadband removes it (tests pin <= 1.02x,
+    results/occlusion_r04.json).  MAD is floored (``mad_floor``, on the
+    similarity scale — the measured per-probe embedding noise on clean
+    scenes) so a cube where all views genuinely agree does not amplify
+    noise into fake outliers.
     """
     c = np.where(valid, consensus, np.nan)
     mu = np.nanmedian(c, axis=1, keepdims=True)
@@ -348,7 +357,8 @@ def consensus_gates(
     z = (consensus - np.where(np.isnan(mu), 0.0, mu)) / np.maximum(
         np.where(np.isnan(mad), 1.0, mad), mad_floor
     )
-    gate = 1.0 / (1.0 + np.exp(-np.clip(z, -z_clip, z_clip)))
+    arg = sharpness * (np.clip(z, -z_clip - z_dead, 0.0) + z_dead)
+    gate = 1.0 / (1.0 + np.exp(-arg))
     return np.where(valid, gate, 0.0).astype(np.float32)
 
 

@@ -215,12 +215,11 @@ def run_sweep_sharded(
             auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
+        td = gather_tile_d(D)
+        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, td, s, hw)
         if cfg.sweep.gather_chunk_windows:
-            crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
-            chunk_hw = auto_chunk_hw(Ps, bbox_min, bbox_max, D, s, hw)
-        else:
-            crop_hw = auto_crop_hw(
-                Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
+            chunk_hw = auto_chunk_hw(
+                Ps, bbox_min, bbox_max, td, s, hw, PC=min(td**3, 8192)
             )
 
     # round-robin: each round takes cube_batch*n_cube items from each block

@@ -318,10 +318,11 @@ def cube_batch_step(
                     "int8": jnp.int8,
                     "float32": jnp.float32,
                 }[gather_dtype],
+                # r4 production gather policy: sub-cube tiling at
+                # gather_tile_d(D) + per-chunk slab windows at PC=8192
+                # (fastest measured at 32^3 AND 64^3 — chunk_hw must be
+                # sized for the TILE; run_sweep/auto callers do so).
                 chunk_hw=chunk_hw,
-                # chunk windows bound the per-point cost by the sub-window
-                # area, so large-D tiling only adds dispatches: disable it.
-                tile_d=D if chunk_hw != (0, 0) else 0,
             )
         return build_cvc_views(images, Ps, views, view_origins, D, s)
 
@@ -729,17 +730,15 @@ def run_sweep(
             auto_chunk_hw, auto_crop_hw, gather_tile_d,
         )
 
+        # crops are sized for the gather tile (large cubes are gathered
+        # as sub-cubes; see warp_gather_tiled)
+        td = gather_tile_d(D)
+        crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, td, s, hw)
         if cfg.sweep.gather_chunk_windows:
-            # r4: per-chunk sub-windows bound the per-point kernel cost;
-            # the cube gathers in ONE dispatch, so crops cover the FULL
-            # cube footprint and the sub-window covers the worst slab.
-            crop_hw = auto_crop_hw(Ps, bbox_min, bbox_max, D, s, hw)
-            chunk_hw = auto_chunk_hw(Ps, bbox_min, bbox_max, D, s, hw)
-        else:
-            # crops are sized for the gather tile (large cubes are
-            # gathered as sub-cubes; see warp_gather_tiled)
-            crop_hw = auto_crop_hw(
-                Ps, bbox_min, bbox_max, gather_tile_d(D), s, hw
+            # r4: per-chunk slab sub-windows, sized for the TILE at the
+            # production PC (warp_gather_tiled's auto policy)
+            chunk_hw = auto_chunk_hw(
+                Ps, bbox_min, bbox_max, td, s, hw, PC=min(td**3, 8192)
             )
 
     core_bounds = (

@@ -669,15 +669,14 @@ def train_surfacenet(
         )
 
         chunks_on = cfg.sweep.gather_chunk_windows
+        td = gather_tile_d(cfg.voxel.cube_size)
         crops, chunks = [], []
         for sc in scenes:
             if getattr(sc, "bbox_min", None) is None:
                 continue
             crops.append(
                 auto_crop_hw(
-                    np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
-                    cfg.voxel.cube_size if chunks_on
-                    else gather_tile_d(cfg.voxel.cube_size),
+                    np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max, td,
                     cfg.voxel.voxel_size_mm,
                     sc.images.shape[1:3],
                 )
@@ -686,8 +685,8 @@ def train_surfacenet(
                 chunks.append(
                     auto_chunk_hw(
                         np.asarray(sc.Ps), sc.bbox_min, sc.bbox_max,
-                        cfg.voxel.cube_size, cfg.voxel.voxel_size_mm,
-                        sc.images.shape[1:3],
+                        td, cfg.voxel.voxel_size_mm,
+                        sc.images.shape[1:3], PC=min(td**3, 8192),
                     )
                 )
         if crops:

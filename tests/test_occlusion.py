@@ -133,9 +133,10 @@ def test_learned_selection_beats_geometric_under_occlusion(occluded_scene):
 
 def test_learned_selection_no_regression_on_clean_scene():
     """On the clean sphere the learned consensus gates must not hurt:
-    all views agree there, gates hover near 0.5, and within-cube top-Nv
-    reshuffles only among near-equivalent pairs (measured ratio 1.09 with
-    the crude photoconsistency oracle; bound leaves noise headroom)."""
+    with the r4 one-sided deadband gate every majority view gets the
+    same near-1 gate, so pair ranking collapses to pure geometry when no
+    outliers exist.  VERDICT r3 next #4 tightened this bound from the
+    r3 sigmoid's 1.15 (measured regression 1.06-1.09) to 1.02."""
     import functools
 
     from surfacenet_tpu.ops.view_pairs import select_pairs_learned_local
@@ -170,6 +171,6 @@ def test_learned_selection_no_regression_on_clean_scene():
         variables=variables,
         patch_size=Config().pairnet.patch_size,
     ))
-    assert learned < geo * 1.15, (
+    assert learned < geo * 1.02, (
         f"learned {learned:.3f}mm regressed vs geometric {geo:.3f}mm"
     )

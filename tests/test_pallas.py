@@ -394,7 +394,7 @@ def test_cube_batch_step_tpu_native_path_interpret(scene):
     from surfacenet_tpu.ops.pallas.warp_gather import auto_chunk_hw
 
     chw = auto_chunk_hw(
-        scene.Ps, scene.bbox_min, scene.bbox_max, D, s, hw, PC=1024
+        scene.Ps, scene.bbox_min, scene.bbox_max, D, s, hw
     )
     occ_c, fused_c, _ = cube_batch_step(
         *args, use_pallas=True, ray_pool_mode="affine_pallas",
