@@ -310,6 +310,10 @@ def run_sweep_sharded(
                 gather_dtype=cfg.sweep.gather_dtype,
                 pool_window=pool_window,
                 chunk_hw=chunk_hw,
+                # pin the compact top_k's rows to the cube axis — without
+                # this the partitioner all-gathers the (Nc, D^3) keys and
+                # sorts redundantly on every device (r4 HLO audit)
+                compact_row_sharding=shard,
             )
 
         host = dict(

@@ -230,7 +230,7 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "predict", "use_pallas", "n_pool_views", "ray_pool_mode",
         "crop_hw", "adaptive_taus", "adaptive_target_density",
         "compact_output", "compact_k", "pool_window", "gather_dtype",
-        "pallas_interpret", "chunk_hw",
+        "pallas_interpret", "chunk_hw", "compact_row_sharding",
     ),
 )
 def cube_batch_step(
@@ -269,6 +269,13 @@ def cube_batch_step(
     #   (r4; auto_chunk_hw).  (0, 0) = full-crop kernel.  When set, large
     #   cubes gather in ONE dispatch (no sub-cube tiling): the per-point
     #   cost is the sub-window area, independent of the cube footprint.
+    compact_row_sharding=None,  # NamedSharding pinning the compact
+    #   top_k's (Nc, D^3) key rows to the cube axis.  Without it the SPMD
+    #   partitioner ALL-GATHERS the key matrix across the cube axis and
+    #   sorts the full batch redundantly on every device (found by the r4
+    #   HLO collective audit, SCALING_r04.json) — Nc*D^3*4 B of per-round
+    #   ICI traffic plus N-fold sort work.  Sharded callers pass their
+    #   row sharding; the single-device path leaves None.
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -543,55 +550,86 @@ def cube_batch_step(
         # The stored prob was already u8-quantized in the record format, so
         # ranking by prob_u8 loses nothing.
         K = _resolve_compact_k(compact_k, D)
-        flat_occ = occ.reshape(Nc, -1)
-        counts = jnp.sum(flat_occ, axis=-1).astype(jnp.int32)
         idx_bits = (d3 - 1).bit_length()
         if idx_bits + 9 > 31:  # int32 key headroom: D <= 161 (prod: <= 64)
             raise NotImplementedError(
                 f"compact_output packed key needs idx_bits+9 <= 31; "
                 f"D={D} gives {idx_bits + 9}"
             )
-        prob_u8_full = jnp.round(
-            jnp.clip(fused.reshape(Nc, -1), 0.0, 1.0) * 255.0
-        ).astype(jnp.int32)
-        iota = jnp.arange(d3, dtype=jnp.int32)[None]
-        key = (
-            (flat_occ.astype(jnp.int32) << (idx_bits + 8))
-            | (prob_u8_full << idx_bits)
-            | iota
+        fn = functools.partial(
+            _compact_records, D=D, K=K, idx_bits=idx_bits
         )
-        # exact top_k (measured: approx_max_k is NOT faster at these row
-        # sizes on v5e — 3.7 vs 3.4 ms at (32, 32k) k=4096 — so take the
-        # exact op; harvest paths additionally verify retrieved occupied
-        # records against `counts` and re-fetch short cubes dense).
-        vals, _ = jax.lax.top_k(key, K)  # (Nc, K) — values carry all
-        sel_occ = (vals >> (idx_bits + 8)) > 0
-        sel_prob_u8 = ((vals >> idx_bits) & 0xFF).astype(jnp.uint8)
-        top_idx = (vals & ((1 << idx_bits) - 1)).astype(jnp.uint32)
+        if compact_row_sharding is not None:
+            # run the compact block under shard_map: per-cube rows are
+            # independent, but the SPMD partitioner all-gathers the
+            # (Nc, D^3) sort keys across the cube axis and sorts the full
+            # batch redundantly on every device (found by the r4 HLO
+            # collective audit, SCALING_r04.json — Nc*D^3*4 B of ICI
+            # traffic AND N-fold sort work per round).  shard_map keeps
+            # top_k local to each device's rows; sharded callers pass
+            # their row sharding, the single-device path leaves None.
+            from jax import shard_map
 
-        cu8 = jnp.round(
-            jnp.clip(color, 0.0, 1.0) * 255.0
-        ).astype(jnp.uint32)
-        packed_col = (
-            (cu8[..., 0] << 16) | (cu8[..., 1] << 8) | cu8[..., 2]
-        ).reshape(Nc, d3)
-        sel_col = jnp.take_along_axis(
-            packed_col, top_idx.astype(jnp.int32), axis=-1
-        )
-        rec = jnp.stack(
-            [
-                (top_idx >> 16).astype(jnp.uint8),
-                ((top_idx >> 8) & 0xFF).astype(jnp.uint8),
-                (top_idx & 0xFF).astype(jnp.uint8),
-                jnp.where(sel_occ, sel_prob_u8, 0),  # prob=0 marks padding
-                ((sel_col >> 16) & 0xFF).astype(jnp.uint8),
-                ((sel_col >> 8) & 0xFF).astype(jnp.uint8),
-                (sel_col & 0xFF).astype(jnp.uint8),
-            ],
-            axis=-1,
-        )  # (Nc, K, 7)
-        return rec, counts
+            spec = compact_row_sharding.spec
+            fn = shard_map(
+                fn,
+                mesh=compact_row_sharding.mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=(spec, spec),
+            )
+        return fn(occ, fused, color)
     return occ, fused, color
+
+
+def _compact_records(occ, fused, color, *, D, K, idx_bits):
+    """Per-cube sparse records (rec (Nc, K, 7) uint8, counts (Nc,)) from
+    dense occupancy/probability/color — the device side of the compact
+    harvest (see the compact_output comment in cube_batch_step).  Pure
+    row-wise math: safe under shard_map over the cube axis."""
+    Nc = occ.shape[0]
+    d3 = D * D * D
+    flat_occ = occ.reshape(Nc, -1)
+    counts = jnp.sum(flat_occ, axis=-1).astype(jnp.int32)
+    prob_u8_full = jnp.round(
+        jnp.clip(fused.reshape(Nc, -1), 0.0, 1.0) * 255.0
+    ).astype(jnp.int32)
+    iota = jnp.arange(d3, dtype=jnp.int32)[None]
+    key = (
+        (flat_occ.astype(jnp.int32) << (idx_bits + 8))
+        | (prob_u8_full << idx_bits)
+        | iota
+    )
+    # exact top_k (measured: approx_max_k is NOT faster at these row
+    # sizes on v5e — 3.7 vs 3.4 ms at (32, 32k) k=4096 — so take the
+    # exact op; harvest paths additionally verify retrieved occupied
+    # records against `counts` and re-fetch short cubes dense).
+    vals, _ = jax.lax.top_k(key, K)  # (Nc, K) — values carry all
+    sel_occ = (vals >> (idx_bits + 8)) > 0
+    sel_prob_u8 = ((vals >> idx_bits) & 0xFF).astype(jnp.uint8)
+    top_idx = (vals & ((1 << idx_bits) - 1)).astype(jnp.uint32)
+
+    cu8 = jnp.round(
+        jnp.clip(color, 0.0, 1.0) * 255.0
+    ).astype(jnp.uint32)
+    packed_col = (
+        (cu8[..., 0] << 16) | (cu8[..., 1] << 8) | cu8[..., 2]
+    ).reshape(Nc, d3)
+    sel_col = jnp.take_along_axis(
+        packed_col, top_idx.astype(jnp.int32), axis=-1
+    )
+    rec = jnp.stack(
+        [
+            (top_idx >> 16).astype(jnp.uint8),
+            ((top_idx >> 8) & 0xFF).astype(jnp.uint8),
+            (top_idx & 0xFF).astype(jnp.uint8),
+            jnp.where(sel_occ, sel_prob_u8, 0),  # prob=0 marks padding
+            ((sel_col >> 16) & 0xFF).astype(jnp.uint8),
+            ((sel_col >> 8) & 0xFF).astype(jnp.uint8),
+            (sel_col & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )  # (Nc, K, 7)
+    return rec, counts
 
 
 
