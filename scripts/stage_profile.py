@@ -2,7 +2,11 @@
 
 Decomposes e2e time into gather / model / pool+fuse+compact by timing
 three nested programs (gather-only, gather+model, full step) at the bench
-operating point (32^3, 5 pairs, dedup gather, affine-Pallas pooling).
+operating point (5 pairs, dedup gather, affine-Pallas pooling, r4
+production gather policy: tiled sub-cubes + slab chunk windows).
+
+Usage: python scripts/stage_profile.py [D] [NC]   (defaults 32 32;
+e.g. `64 24` for the 64^3 apply point's stage table, VERDICT r4 item 7)
 """
 
 import os
@@ -45,7 +49,9 @@ def main():
     from surfacenet_tpu.pipeline.sweep import cube_batch_step
 
     P(f"devices: {jax.devices()}")
-    D, NC, NP = 32, 32, 5
+    D = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    NC = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    NP = 5
     s = 0.5
     scene = make_sphere_scene(n_views=8, hw=(600, 800), radius=30.0)
     images = jnp.asarray(scene.images, jnp.float32)
@@ -74,7 +80,21 @@ def main():
     Ku = uniq.shape[1]
     P(f"Ku (distinct views/cube) = {Ku}")
 
-    CH, CW = 192, 256
+    # r4 production gather policy: crop/chunk sized at the TILE
+    from surfacenet_tpu.ops.pallas.warp_gather import (
+        auto_chunk_hw, auto_crop_hw, gather_tile_d,
+    )
+
+    td = gather_tile_d(D)
+    CH, CW = auto_crop_hw(
+        np.asarray(scene.Ps), scene.bbox_min, scene.bbox_max, td, s,
+        scene.images.shape[1:3],
+    )
+    chunk_hw = auto_chunk_hw(
+        np.asarray(scene.Ps), scene.bbox_min, scene.bbox_max, td, s,
+        scene.images.shape[1:3], PC=min(td ** 3, 8192),
+    )
+    P(f"gather policy: tile_d={td} crop=({CH},{CW}) chunk={chunk_hw}")
 
     # --- stage 1: gather only (dedup: Nc*Ku items)
     @jax.jit
@@ -83,6 +103,7 @@ def main():
         colors, valids = warp_gather_tiled(
             images, Ps, uv.reshape(-1).astype(jnp.int32),
             jnp.repeat(origins, Ku, axis=0), D=D, s=s, CH=CH, CW=CW,
+            chunk_hw=chunk_hw,
         )
         return colors, valids
 
@@ -119,7 +140,8 @@ def main():
             D=D, s=s, n_pairs=NP, tau=0.7, gamma=0.7,
             adaptive=False, center_colors=True, predict=predict,
             use_pallas=True, ray_pool_mode="affine_pallas",
-            crop_hw=(CH, CW), compact_output=True, pool_window=2,
+            crop_hw=(int(CH), int(CW)), chunk_hw=tuple(chunk_hw),
+            compact_output=True, pool_window=2,
         ),
         static_argnames=(),
     )

@@ -144,6 +144,18 @@ class FusionConfig:
     # "affine" (sheared-slab approximation; ~100x cheaper on TPU, error
     # O(cube_extent / camera_distance) in ray assignment).
     ray_pool_mode: str = "exact"
+    # pair fusion: "mean" (paper SS5.1 weighted average) or "consensus"
+    # (two-pass consensus-reweighted fusion — pairs whose predicted
+    # volume disagrees with the cube's preliminary fusion are
+    # downweighted before the final fuse; the r4 occlusion-robust path,
+    # ops/fusion.py::fuse_pairs_consensus, results/occlusion_r04.json).
+    fusion_mode: str = "mean"
+    # consensus-fusion shape: pairs within `deadband` correlation of the
+    # cube's best pair keep full weight (clean-scene safety — measured
+    # ratio 1.00 on the clean sphere); below it weight decays
+    # exp(beta * deficit).
+    consensus_beta: float = 8.0
+    consensus_deadband: float = 0.1
     n_pool_views: int = 6  # deduped views used for the thinning vote
     # Ray-max window in voxels: -1 = auto (min(2, overlap//2)); 0 = legacy
     # per-cube segment max (rays chopped at cube faces — boundary
@@ -238,6 +250,15 @@ class TrainConfig:
     # class-balanced BCE on a fixed pool the train pool never sees
     # (exposes pool overfit); 0 = off.
     eval_every: int = 0
+    # train-time calibration augmentation: per-view principal-point shift
+    # of N(0, sigma_px) pixels re-drawn every step ON DEVICE (the
+    # first-order imperfect-calibration model, matching
+    # data/synthetic.degrade_scene's calib_sigma_px).  The r4 robustness
+    # curves (results/robustness_r04.json) show calibration error is the
+    # ONE brittle imaging axis of clean-trained weights (sigma=1 px
+    # triples overall mm); photometric axes are flat, so only this aug
+    # exists.  0 = off (the shipped-weights default).
+    aug_calib_sigma_px: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

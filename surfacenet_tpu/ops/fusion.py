@@ -38,6 +38,74 @@ def fuse_pairs(
     return num / (den + eps)
 
 
+def fuse_pairs_consensus(
+    probs: jnp.ndarray,
+    weights: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    beta: float = 8.0,
+    deadband: float = 0.1,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Consensus-reweighted fusion (SURVEY.md C6/C7 occlusion robustness).
+
+    Two-pass robust aggregation: fuse once with the geometric weights,
+    correlate each pair's probability volume with the preliminary fusion
+    (masked zero-mean cosine over the cube's voxels), then re-fuse with
+    outlier pairs downweighted.  A pair containing an occluded or
+    specularity-corrupted view predicts surface mass that disagrees with
+    the majority consensus at VOXEL granularity — a far richer signal
+    than any per-view patch probe: the r4 measurement campaign showed
+    patch-embedding consensus gates cannot separate a repeated-texture
+    occluder (occluded-view gate mean 0.489 vs clean 0.458, i.e. noise;
+    and ZNCC probes rank the occluder HIGHER because its repeated
+    texture matches itself at every depth), while the per-pair predicted
+    volumes disagree exactly where it matters.
+
+    Clean-scene safety mirrors ``consensus_gates``'s flat deadband:
+    pairs whose correlation is within ``deadband`` of the cube's best
+    pair keep their geometric weight EXACTLY (g = 1), so agreeing pairs
+    reproduce plain ``fuse_pairs`` and only genuine dissenters decay
+    (g = exp(beta * (corr - max + deadband)) < 1).  Empty cubes: the
+    preliminary fusion is ~constant, correlations ~0 for every pair,
+    all inside the deadband -> identical to ``fuse_pairs``.
+
+    Args:
+      probs: (Npairs, D, D, D) per-pair surface probabilities.
+      weights: (Npairs,) geometric pair weights.
+      valid: optional (Npairs, D, D, D) bool frustum mask.
+      beta: decay sharpness per unit correlation deficit.
+      deadband: correlation slack that keeps full weight.
+
+    Returns:
+      (D, D, D) fused probability.
+    """
+    v = (
+        valid.astype(probs.dtype) if valid is not None
+        else jnp.ones_like(probs)
+    )
+    # leave-one-out consensus per pair: with Nv of 3-5 a pair's own
+    # contribution dominates its correlation with the plain fusion and
+    # masks dissent; exclude it from the reference it is judged against.
+    w = weights[:, None, None, None] * v
+    num_all = jnp.sum(w * probs, axis=0, keepdims=True)
+    den_all = jnp.sum(w, axis=0, keepdims=True)
+    f_loo = (num_all - w * probs) / (den_all - w + eps)  # (Npairs, D,D,D)
+    cnt = jnp.sum(v, axis=(1, 2, 3), keepdims=True) + eps
+    pm = jnp.sum(probs * v, axis=(1, 2, 3), keepdims=True) / cnt
+    fm = jnp.sum(f_loo * v, axis=(1, 2, 3), keepdims=True) / cnt
+    pc = (probs - pm) * v
+    fc = (f_loo - fm) * v
+    num = jnp.sum(pc * fc, axis=(1, 2, 3))
+    den = jnp.sqrt(
+        jnp.sum(pc * pc, axis=(1, 2, 3)) * jnp.sum(fc * fc, axis=(1, 2, 3))
+    ) + eps
+    corr = num / den  # (Npairs,)
+    gate = jnp.exp(
+        beta * jnp.minimum(corr - jnp.max(corr) + deadband, 0.0)
+    )
+    return fuse_pairs(probs, weights * gate, valid)
+
+
 def adaptive_threshold(
     fused: jnp.ndarray,
     taus: jnp.ndarray,

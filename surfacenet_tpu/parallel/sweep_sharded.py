@@ -57,6 +57,7 @@ from surfacenet_tpu.pipeline.sweep import (
     cube_batch_step,
     enumerate_cubes,
     prefilter_cubes,
+    resolve_fusion_mode,
     resolve_pool_window,
 )
 
@@ -302,6 +303,7 @@ def run_sweep_sharded(
                 use_pallas=cfg.sweep.use_pallas_gather,
                 n_pool_views=cfg.fusion.n_pool_views,
                 ray_pool_mode=cfg.fusion.ray_pool_mode,
+                fusion_mode=resolve_fusion_mode(cfg),
                 crop_hw=crop_hw,
                 adaptive_taus=cfg.fusion.adaptive_taus,
                 adaptive_target_density=cfg.fusion.adaptive_target_density,
@@ -370,6 +372,7 @@ def run_sweep_sharded(
                 use_pallas=cfg.sweep.use_pallas_gather,
                 n_pool_views=cfg.fusion.n_pool_views,
                 ray_pool_mode=cfg.fusion.ray_pool_mode,
+                fusion_mode=resolve_fusion_mode(cfg),
                 crop_hw=crop_hw,
                 adaptive_taus=cfg.fusion.adaptive_taus,
                 adaptive_target_density=cfg.fusion.adaptive_target_density,

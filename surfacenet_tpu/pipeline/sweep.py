@@ -26,7 +26,9 @@ import numpy as np
 
 from surfacenet_tpu.config import Config
 from surfacenet_tpu.geometry.camera import cube_visible
-from surfacenet_tpu.ops.fusion import adaptive_threshold, fuse_pairs
+from surfacenet_tpu.ops.fusion import (
+    adaptive_threshold, fuse_pairs, fuse_pairs_consensus,
+)
 from surfacenet_tpu.ops.ray_pooling import ray_pool
 from surfacenet_tpu.pipeline.sparse import CubeResult, SparseCubeStore
 
@@ -141,6 +143,18 @@ def resolve_backend_config(cfg: Config) -> Config:
     return cfg
 
 
+def resolve_fusion_mode(cfg: Config):
+    """cfg.fusion -> the hashable fusion_mode static for cube_batch_step:
+    "mean", or ("consensus", beta, deadband)."""
+    if cfg.fusion.fusion_mode == "consensus":
+        return (
+            "consensus",
+            float(cfg.fusion.consensus_beta),
+            float(cfg.fusion.consensus_deadband),
+        )
+    return cfg.fusion.fusion_mode
+
+
 def resolve_pool_window(cfg: Config) -> int:
     """Effective ray-max window (voxels): -1 = auto.
 
@@ -231,6 +245,7 @@ def _resolve_compact_k(compact_k: int, D: int) -> int:
         "crop_hw", "adaptive_taus", "adaptive_target_density",
         "compact_output", "compact_k", "pool_window", "gather_dtype",
         "pallas_interpret", "chunk_hw", "compact_row_sharding",
+        "fusion_mode",
     ),
 )
 def cube_batch_step(
@@ -276,6 +291,13 @@ def cube_batch_step(
     #   HLO collective audit, SCALING_r04.json) — Nc*D^3*4 B of per-round
     #   ICI traffic plus N-fold sort work.  Sharded callers pass their
     #   row sharding; the single-device path leaves None.
+    fusion_mode="mean",  # "mean" (paper SS5.1 weighted average) |
+    #   or ("consensus", beta, deadband) — hashable static tuple |
+    #   "consensus" (two-pass consensus-reweighted fusion,
+    #   ops/fusion.py::fuse_pairs_consensus — downweights pairs whose
+    #   predicted volume disagrees with the cube's preliminary fusion;
+    #   the r4 occlusion-robust path, measured in
+    #   results/occlusion_r04.json).
 ):
     """One fused device program over a fixed-size batch of cubes.
 
@@ -389,7 +411,18 @@ def cube_batch_step(
     probs = predict(x, flat_origins)  # (NB, D, D, D)
     probs = probs.reshape(Nc, n_pairs, D, D, D)
 
-    fused = jax.vmap(fuse_pairs)(probs, pair_w, valid)  # (Nc, D,D,D)
+    fm = (
+        (fusion_mode,) if isinstance(fusion_mode, str) else tuple(fusion_mode)
+    )
+    if fm[0] == "consensus":
+        fuse_kw = {}
+        if len(fm) > 1:
+            fuse_kw = dict(beta=float(fm[1]), deadband=float(fm[2]))
+        fused = jax.vmap(
+            functools.partial(fuse_pairs_consensus, **fuse_kw)
+        )(probs, pair_w, valid)
+    else:
+        fused = jax.vmap(fuse_pairs)(probs, pair_w, valid)  # (Nc, D,D,D)
 
     if adaptive:
         taus = adaptive_threshold(
@@ -827,6 +860,7 @@ def run_sweep(
             use_pallas=cfg.sweep.use_pallas_gather,
             n_pool_views=cfg.fusion.n_pool_views,
             ray_pool_mode=cfg.fusion.ray_pool_mode,
+            fusion_mode=resolve_fusion_mode(cfg),
             crop_hw=crop_hw,
             adaptive_taus=cfg.fusion.adaptive_taus,
             adaptive_target_density=cfg.fusion.adaptive_target_density,
@@ -876,6 +910,7 @@ def run_sweep(
                 use_pallas=cfg.sweep.use_pallas_gather,
                 n_pool_views=cfg.fusion.n_pool_views,
                 ray_pool_mode=cfg.fusion.ray_pool_mode,
+                fusion_mode=resolve_fusion_mode(cfg),
                 crop_hw=crop_hw,
                 adaptive_taus=cfg.fusion.adaptive_taus,
                 adaptive_target_density=cfg.fusion.adaptive_target_density,

@@ -84,6 +84,20 @@ def _gather_cvcs(
     )
 
 
+def perturb_calibration(
+    Ps: jnp.ndarray, key: jax.Array, sigma_px: float
+) -> jnp.ndarray:
+    """Per-view principal-point shift of N(0, sigma_px) pixels: the
+    first-order imperfect-calibration model (P[0] += du*P[2],
+    P[1] += dv*P[2]), identical in form to
+    ``data/synthetic.degrade_scene(calib_sigma_px=...)`` but drawn on
+    device per training step (train-time augmentation for the one
+    brittle axis of the r4 robustness curves)."""
+    duv = sigma_px * jax.random.normal(key, (Ps.shape[0], 2), Ps.dtype)
+    Ps = Ps.at[:, 0].add(duv[:, 0, None] * Ps[:, 2])
+    return Ps.at[:, 1].add(duv[:, 1, None] * Ps[:, 2])
+
+
 def _train_step_impl(
     state: TrainState,
     images: jnp.ndarray,  # (V, H, W, 3)
@@ -91,6 +105,7 @@ def _train_step_impl(
     origins: jnp.ndarray,  # (B, 3)
     pair_idx: jnp.ndarray,  # (B, 2)
     labels: jnp.ndarray,  # (B, D, D, D)
+    aug_key: Optional[jax.Array] = None,
     *,
     D: int,
     s: float,
@@ -99,11 +114,14 @@ def _train_step_impl(
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
     chunk_hw: tuple = (0, 0),
+    aug_sigma_px: float = 0.0,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """One fused CVC-gather + forward + backward + update step (traceable:
     called directly by ``train_step`` and from inside ``train_steps_scan``'s
     scan body)."""
 
+    if aug_sigma_px > 0.0 and aug_key is not None:
+        Ps = perturb_calibration(Ps, aug_key, aug_sigma_px)
     x, valid = _gather_cvcs(
         images, Ps, pair_idx, origins, D, s, center_colors,
         use_pallas, crop_hw, chunk_hw,
@@ -132,7 +150,7 @@ train_step = jax.jit(
     _train_step_impl,
     static_argnames=(
         "D", "s", "balanced", "center_colors", "use_pallas", "crop_hw",
-        "chunk_hw",
+        "chunk_hw", "aug_sigma_px",
     ),
 )
 train_step.__doc__ = "Jitted single fused CVC-gather + fwd + bwd + update."
@@ -313,7 +331,8 @@ def _constrain_batch(arrs, batch_sharding):
     jax.jit,
     static_argnames=(
         "surf_fn", "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw", "chunk_hw", "batch_sharding",
+        "use_pallas", "crop_hw", "chunk_hw", "aug_sigma_px",
+        "batch_sharding",
     ),
 )
 def train_steps_scan(
@@ -335,6 +354,7 @@ def train_steps_scan(
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
     chunk_hw: tuple = (0, 0),
+    aug_sigma_px: float = 0.0,
     batch_sharding=None,  # NamedSharding(mesh, P(axes, ...)) or None
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K fused training steps in one dispatch (lax.scan over steps).
@@ -349,7 +369,7 @@ def train_steps_scan(
 
     def body(carry, k):
         state = carry
-        k1, k2, k3 = jax.random.split(k, 3)
+        k1, k2, k3, k_aug = jax.random.split(k, 4)
         idx = jax.random.randint(k1, (batch,), 0, cand_pts.shape[0])
         jitter = jax.random.uniform(
             k2, (batch, 3), minval=-0.25, maxval=0.25
@@ -367,9 +387,10 @@ def train_steps_scan(
             (origins, pair_idx, labels), batch_sharding
         )
         state, loss = _train_step_impl(
-            state, images, Ps, origins, pair_idx, labels,
+            state, images, Ps, origins, pair_idx, labels, k_aug,
             D=D, s=s, balanced=balanced, center_colors=center_colors,
             use_pallas=use_pallas, crop_hw=crop_hw, chunk_hw=chunk_hw,
+            aug_sigma_px=aug_sigma_px,
         )
         return state, loss
 
@@ -478,7 +499,8 @@ def make_pool_sampler_multi(
     jax.jit,
     static_argnames=(
         "K", "batch", "D", "s", "balanced", "center_colors",
-        "use_pallas", "crop_hw", "chunk_hw", "batch_sharding",
+        "use_pallas", "crop_hw", "chunk_hw", "aug_sigma_px",
+        "batch_sharding",
     ),
 )
 def train_steps_scan_pool(
@@ -499,6 +521,7 @@ def train_steps_scan_pool(
     use_pallas: bool = False,
     crop_hw: tuple = (192, 256),
     chunk_hw: tuple = (0, 0),
+    aug_sigma_px: float = 0.0,
     batch_sharding=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """K training steps per dispatch drawing from a precomputed cube pool."""
@@ -506,7 +529,7 @@ def train_steps_scan_pool(
 
     def body(carry, k):
         state = carry
-        k1, k2 = jax.random.split(k)
+        k1, k2, k_aug = jax.random.split(k, 3)
         idx = jax.random.randint(k1, (batch,), 0, pool_origins.shape[0])
         origins = pool_origins[idx]
         packed = pool_labels[idx]  # (B, D^3/8)
@@ -521,9 +544,10 @@ def train_steps_scan_pool(
             (origins, pair_idx, labels), batch_sharding
         )
         state, loss = _train_step_impl(
-            state, images, Ps, origins, pair_idx, labels,
+            state, images, Ps, origins, pair_idx, labels, k_aug,
             D=D, s=s, balanced=balanced, center_colors=center_colors,
             use_pallas=use_pallas, crop_hw=crop_hw, chunk_hw=chunk_hw,
+            aug_sigma_px=aug_sigma_px,
         )
         return state, loss
 
@@ -807,6 +831,7 @@ def train_surfacenet(
                 center_colors=cfg.voxel.center_colors,
                 use_pallas=use_pallas, crop_hw=crop_hw,
                 chunk_hw=chunk_hw,
+                aug_sigma_px=cfg.train.aug_calib_sigma_px,
                 batch_sharding=batch_sharding,
             )
             if sampler is not None:
@@ -867,6 +892,7 @@ def train_surfacenet(
             state,
             images_d[si], Ps_d[si],
             jnp.asarray(origins), jnp.asarray(pair_idx), jnp.asarray(labels),
+            jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 2), step),
             D=cfg.voxel.cube_size,
             s=cfg.voxel.voxel_size_mm,
             balanced=cfg.train.class_balance,
@@ -874,6 +900,7 @@ def train_surfacenet(
             use_pallas=use_pallas,
             crop_hw=crop_hw,
             chunk_hw=chunk_hw,
+            aug_sigma_px=cfg.train.aug_calib_sigma_px,
         )
         if step % log_every == 0 or step == n_steps - 1:
             log.steps.append(step)

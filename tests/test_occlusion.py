@@ -78,57 +78,90 @@ def test_pairnet_separates_occluded_views(occluded_scene):
     )
 
 
-def test_learned_selection_beats_geometric_under_occlusion(occluded_scene):
-    """End-to-end: with the photoconsistency predictor, geometric pair
-    selection keeps fusing occluder-corrupted pairs; cube-LOCAL learned
-    consensus gating (select_pairs_learned_local) excludes an occluded
-    view from fusion and from the pooling votes for exactly the cubes it
-    corrupts, and must reconstruct the sphere markedly better.  The
-    pairnet is trained on a CLEAN scene — training triplets on the
-    occluded scene itself would teach the embedding that occluder-texture
-    patches are positives of sphere patches (measured: TPU r3, local
-    selection is 23% better full-scene, 29% on the occluded hemisphere;
-    global similarity was a tie)."""
-    import functools
+def _overall(scene, cfg, gt, pair_selector=None):
+    store, _ = run_sweep(
+        scene.images, scene.Ps, scene.bbox_min, scene.bbox_max,
+        cfg, photoconsistency_predictor, pair_selector=pair_selector,
+    )
+    pts, _, _ = store.merge()
+    assert len(pts) > 100
+    acc, comp = accuracy_completeness(np.asarray(pts), gt)
+    return (acc + comp) / 2
 
-    from surfacenet_tpu.ops.view_pairs import select_pairs_learned_local
-    from surfacenet_tpu.train.train_pair import train_pairnet
 
-    scene = occluded_scene
-    cfg = Config(
+def _cfg_occ(n_pairs, **fusion_kw):
+    return Config(
         voxel=VoxelConfig(voxel_size_mm=2.0, cube_size=16, overlap=4),
-        fusion=FusionConfig(n_view_pairs=4, tau=0.25, gamma=0.6),
+        fusion=FusionConfig(
+            n_view_pairs=n_pairs, tau=0.25, gamma=0.6, **fusion_kw
+        ),
         sweep=SweepConfig(cube_batch=8),
     )
-    gt = scene.surface_points(4000)
 
-    def overall(pair_selector):
-        store, _ = run_sweep(
-            scene.images, scene.Ps, scene.bbox_min, scene.bbox_max,
-            cfg, photoconsistency_predictor, pair_selector=pair_selector,
-        )
-        pts, _, _ = store.merge()
-        assert len(pts) > 100
-        acc, comp = accuracy_completeness(pts, gt)
-        return (acc + comp) / 2
 
-    geo = overall(None)
+def test_proximity_selection_beats_angle_only(occluded_scene):
+    """The r4 C6 finding: baseline-angle-only pair scoring leaves near-
+    ties across the whole rig and ends up selecting FAR-SIDE cameras
+    whose sightline to a cube's surface region is blocked by the object
+    itself.  The production proximity term (prefer pairs among the
+    nearest visible cameras, _select_scored_jit dist_sigma_frac) fixes
+    it: measured 36% better overall on the occluded golden scene and 31%
+    on the clean sphere (results/occlusion_r04.json).  Angle-only is
+    kept reachable via dist_sigma_frac=0 as the control."""
+    import functools
 
-    clean = make_sphere_scene(n_views=10, hw=(120, 160))
-    model, variables, _ = train_pairnet(clean, Config(), n_steps=600)
-    learned = overall(functools.partial(
-        select_pairs_learned_local,
-        n_pairs=cfg.fusion.n_view_pairs,
-        image_hw=scene.images.shape[1:3],
-        extent_mm=cfg.voxel.cube_extent_mm,
-        images=scene.images,
-        model=model,
-        variables=variables,
-        patch_size=Config().pairnet.patch_size,
-    ))
-    assert learned < geo * 0.9, (
-        f"learned {learned:.3f}mm vs geometric {geo:.3f}mm"
+    from surfacenet_tpu.ops.view_pairs import (
+        candidate_pairs, _select_scored_jit,
     )
+
+    def select_angle_only(Ps, origins, n_pairs, image_hw, extent_mm):
+        pairs = jnp.asarray(candidate_pairs(Ps.shape[0]))
+        sel, w = _select_scored_jit(
+            jnp.asarray(Ps, jnp.float32), jnp.asarray(origins, jnp.float32),
+            pairs, float(extent_mm), n_pairs, tuple(image_hw),
+            dist_sigma_frac=0.0,
+        )
+        return np.asarray(sel), np.asarray(w)
+
+    scene = occluded_scene
+    cfg = _cfg_occ(4)
+    gt = scene.surface_points(4000)
+    prox = _overall(scene, cfg, gt)  # production default
+    angle_only = _overall(
+        scene, cfg, gt,
+        functools.partial(
+            select_angle_only, n_pairs=4,
+            image_hw=scene.images.shape[1:3],
+            extent_mm=cfg.voxel.cube_extent_mm,
+        ),
+    )
+    assert prox < angle_only * 0.8, (
+        f"proximity {prox:.3f}mm vs angle-only {angle_only:.3f}mm"
+    )
+
+
+def test_consensus_fusion_helps_occluded_and_safe_on_clean(occluded_scene):
+    """fusion_mode="consensus" (ops/fusion.py::fuse_pairs_consensus)
+    downweights pairs whose predicted volume dissents from the cube's
+    leave-one-out consensus.  Measured: a small win on the occluded
+    scene (0.983x) and clean-safe (0.991x) — bounds pin no-harm rather
+    than a large win, because the repeated-texture occluder's occ-occ
+    pairs produce mutually-consistent phantom structure that consensus
+    cannot kill (the r4 negative-result campaign in
+    results/occlusion_r04.json: patch-embedding gates, ZNCC plane-sweep
+    probes, and cube-median z-scores all fail to separate this occluder;
+    proximity selection is what actually moves the needle)."""
+    scene = occluded_scene
+    gt = scene.surface_points(4000)
+    occ_mean = _overall(scene, _cfg_occ(4), gt)
+    occ_cons = _overall(scene, _cfg_occ(4, fusion_mode="consensus"), gt)
+    assert occ_cons < occ_mean * 1.005, (occ_cons, occ_mean)
+
+    clean = make_sphere_scene(n_views=8, hw=(120, 160))
+    gt_c = clean.surface_points(4000)
+    c_mean = _overall(clean, _cfg_occ(3), gt_c)
+    c_cons = _overall(clean, _cfg_occ(3, fusion_mode="consensus"), gt_c)
+    assert c_cons < c_mean * 1.02, (c_cons, c_mean)
 
 
 def test_learned_selection_no_regression_on_clean_scene():

@@ -153,6 +153,60 @@ def test_train_steps_scan_deterministic_and_converges(small_scene):
     assert np.asarray(l3).mean() < np.asarray(l1).mean()
 
 
+def test_calib_augmentation_seeded_and_effective(small_scene):
+    """train.aug_calib_sigma_px (the one brittle axis of the r4
+    robustness curves): per-step on-device P perturbation must be
+    deterministic under the key, change the training trajectory, and
+    shift projections by ~sigma pixels."""
+    from surfacenet_tpu.train.train_surface import (
+        make_device_sampler, perturb_calibration, train_steps_scan,
+    )
+
+    # unit: projection shift is sigma-class pixels and key-deterministic
+    Ps = jnp.asarray(small_scene.Ps, jnp.float32)
+    k = jax.random.PRNGKey(3)
+    Pp = perturb_calibration(Ps, k, 2.0)
+    assert np.allclose(
+        np.asarray(perturb_calibration(Ps, k, 2.0)), np.asarray(Pp)
+    )
+    pts = small_scene.surface_points(100, seed=1)
+    ph = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+    a = ph @ np.asarray(Ps[0]).T
+    b = ph @ np.asarray(Pp[0]).T
+    shift = np.linalg.norm(
+        a[:, :2] / a[:, 2:3] - b[:, :2] / b[:, 2:3], axis=1
+    ).mean()
+    assert 0.05 * 2.0 < shift < 10.0 * 2.0  # Rayleigh(sigma)-class
+
+    # integration: the scan path trains, stays finite, and the aug
+    # actually changes the losses (same key, sigma on vs off)
+    cfg = _cfg()
+    sampler = make_device_sampler(small_scene, cfg, n_candidates=64)
+    cand_pts, cand_pairs, surf_fn, surf_params = sampler
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    images = jnp.asarray(small_scene.images, jnp.float32)
+    kw = dict(
+        surf_fn=surf_fn, K=3, batch=cfg.train.batch_size,
+        D=cfg.voxel.cube_size, s=cfg.voxel.voxel_size_mm,
+        balanced=True, center_colors=True,
+    )
+    key = jax.random.PRNGKey(7)
+    _, l_off = train_steps_scan(
+        state, images, Ps, cand_pts, cand_pairs, surf_params, key, **kw
+    )
+    _, l_on = train_steps_scan(
+        state, images, Ps, cand_pts, cand_pairs, surf_params, key,
+        aug_sigma_px=1.0, **kw,
+    )
+    _, l_on2 = train_steps_scan(
+        state, images, Ps, cand_pts, cand_pairs, surf_params, key,
+        aug_sigma_px=1.0, **kw,
+    )
+    assert np.all(np.isfinite(np.asarray(l_on)))
+    assert not np.allclose(np.asarray(l_on), np.asarray(l_off))
+    assert np.allclose(np.asarray(l_on), np.asarray(l_on2))
+
+
 def _pc_scene(small_scene, n=4000):
     """PointCloudScene wrapping the sphere's GT samples (the DTU shape)."""
     from surfacenet_tpu.data.scene import PointCloudScene

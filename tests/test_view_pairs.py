@@ -108,7 +108,8 @@ def test_dedup_view_slots_roundtrip():
 
 
 def test_cube_batch_step_dedup_parity(sphere_scene):
-    """Deduped gather path == per-pair-half gather path, bit-exactly."""
+    """Deduped gather path == per-pair-half gather path (fused/color to
+    f32 ulps; occupancy up to threshold-tie flips)."""
     import jax.numpy as jnp
 
     from surfacenet_tpu.config import Config, FusionConfig, VoxelConfig
@@ -154,7 +155,14 @@ def test_cube_batch_step_dedup_parity(sphere_scene):
         *args, jnp.asarray(uniq, jnp.int32), jnp.asarray(slots, jnp.int32),
         **kw,
     )
-    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    # occupancy may legitimately flip on voxels whose fused probability
+    # sits within float reassociation distance of tau (the two paths
+    # assemble the model input via different op orders), and a flipped
+    # voxel can move a ray-pooling claim to a neighbor along its ray —
+    # so pin the flip COUNT, not bit-exactness (measured: 0-1 voxels of
+    # 24576 flip, always threshold ties).
+    n_flip = int((np.asarray(occ0) != np.asarray(occ1)).sum())
+    assert n_flip <= 4, f"{n_flip} occupancy flips between gather paths"
     # same math, different op order (take_along_axis vs slice) -> XLA may
     # fuse/reassociate differently; tolerance is a few f32 ulps.
     np.testing.assert_allclose(
@@ -163,3 +171,41 @@ def test_cube_batch_step_dedup_parity(sphere_scene):
     np.testing.assert_allclose(
         np.asarray(color0), np.asarray(color1), atol=5e-6
     )
+
+
+def test_consensus_gates_flat_deadband():
+    """Clean-scene safety (VERDICT r4 item 4): every view within the
+    deadband must get gate EXACTLY 1 — pair ranking then collapses to
+    pure geometry — and only confident outliers decay toward 0."""
+    from surfacenet_tpu.ops.view_pairs import consensus_gates
+
+    rng = np.random.default_rng(0)
+    # clean cubes: consensus is pure small noise around a common level
+    clean = 0.8 + 0.005 * rng.standard_normal((50, 8))
+    valid = np.ones_like(clean, bool)
+    g = consensus_gates(clean, valid)
+    np.testing.assert_array_equal(g, np.ones_like(g))
+
+    # one confident outlier view: its gate drops, the rest stay at 1
+    occ = clean.copy()
+    occ[:, 3] -= 0.5
+    g = consensus_gates(occ, valid)
+    assert (g[:, 3] < 0.1).all()
+    keep = np.ones(8, bool)
+    keep[3] = False
+    np.testing.assert_array_equal(g[:, keep], np.ones_like(g[:, keep]))
+
+    # invalid probes are NEUTRAL (geometry fallback), not a veto — and
+    # all-invalid cubes raise no NaN warnings
+    import warnings
+
+    valid2 = valid.copy()
+    valid2[0] = False
+    valid2[1, 2] = False
+    occ2 = clean.copy()
+    occ2[1, 2] = 0.0  # low consensus but INVALID -> must stay neutral
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        g = consensus_gates(occ2, valid2)
+    np.testing.assert_array_equal(g[0], np.ones(8))
+    assert g[1, 2] == 1.0
