@@ -4,16 +4,19 @@ results/occlusion_r03.json measured a learned-vs-geometric selection win
 with the photoconsistency oracle; the r4 measurement campaign showed
 that win was selection DECORRELATION, not detection (the consensus gates
 did not separate occluded from clean views: mean gate 0.489 vs 0.458),
-and found the real C6 lever - angle-only pair scoring selects far-side
-self-occluded cameras; the proximity term fixes it (36%/31% better on
-occluded/clean oracle scenes).  This script measures the full story with
-the SHIPPED trained model (weights/golden_sphere_30k) at the production
-operating point (s=0.5 mm, D=32, 600x800 renders), on the occluded
-golden scene and the clean sphere:
+and that pair-selection geometry is part of the TRAINING distribution:
+the proximity term wins 36%/31% in the low-res oracle regime but
+collapses the angle-trained shipped weights 13x at apply time.  This
+script measures the full story with the SHIPPED trained model
+(weights/golden_sphere_30k) at the production operating point
+(s=0.5 mm, D=32, 600x800 renders), on the occluded golden scene and the
+clean sphere:
 
-  * angle_only - the r3 selector (dist_sigma_frac=0 control),
-  * geometric - the production proximity-aware selector,
-  * geometric + fusion_mode="consensus" - the production occlusion path,
+  * geometric - the production default (angle-only, matches training),
+  * proximity - pair_dist_sigma_frac=0.15 at apply time, deliberately
+    MISMATCHED with the angle-trained weights (quantifies the coupling;
+    the matched comparison is scripts/selection_ab_eval.py),
+  * geometric + fusion_mode="consensus" - the occlusion-robust fusion,
   * learned_global / learned_local - the pairnet paths (clean-trained;
     expected ~= geometric after the flat-deadband + neutral-invalid
     fixes: the gates are measured no-signal on this occluder).
@@ -102,32 +105,22 @@ def main(weights=os.path.join(REPO, "weights", "golden_sphere_30k")):
         )
         import dataclasses
 
-        import jax.numpy as jnp
-
-        from surfacenet_tpu.ops.view_pairs import (
-            _select_scored_jit, candidate_pairs,
-        )
-
-        def select_angle_only(Ps, origins, n_pairs, image_hw, extent_mm):
-            pairs = jnp.asarray(candidate_pairs(Ps.shape[0]))
-            sel, w = _select_scored_jit(
-                jnp.asarray(Ps, jnp.float32),
-                jnp.asarray(origins, jnp.float32),
-                pairs, float(extent_mm), n_pairs, tuple(image_hw),
-                dist_sigma_frac=0.0,
-            )
-            return np.asarray(sel), np.asarray(w)
-
         cons_cfg = dataclasses.replace(
             cfg, fusion=dataclasses.replace(
                 cfg.fusion, fusion_mode="consensus"
             ),
         )
+        prox_cfg = dataclasses.replace(
+            cfg, fusion=dataclasses.replace(
+                cfg.fusion, pair_dist_sigma_frac=0.15
+            ),
+        )
         rows = {}
         for label, run_cfg, sel in [
-            ("angle_only", cfg,
-             functools.partial(select_angle_only, **common)),
-            ("geometric", cfg, None),
+            ("geometric", cfg, None),  # production default (angle-only)
+            ("proximity", prox_cfg, None),  # apply-time prox, MISMATCHED
+            #   with the angle-trained weights on purpose: quantifies the
+            #   train/apply selection-distribution coupling
             ("geometric_consensus", cons_cfg, None),
             ("learned_global", cfg, functools.partial(
                 select_pairs_learned, similarity=sim, **common)),
@@ -162,12 +155,10 @@ def main(weights=os.path.join(REPO, "weights", "golden_sphere_30k")):
 
     o = out["scenes"]["occluded"]
     s = out["scenes"]["sphere"]
-    out["proximity_gain_pct_occluded"] = round(
-        100 * (1 - o["geometric"]["overall_mm"]
-               / o["angle_only"]["overall_mm"]), 1)
-    out["proximity_gain_pct_clean"] = round(
-        100 * (1 - s["geometric"]["overall_mm"]
-               / s["angle_only"]["overall_mm"]), 1)
+    out["prox_mismatch_ratio_occluded"] = round(
+        o["proximity"]["overall_mm"] / o["geometric"]["overall_mm"], 2)
+    out["prox_mismatch_ratio_clean"] = round(
+        s["proximity"]["overall_mm"] / s["geometric"]["overall_mm"], 2)
     out["consensus_ratio_occluded"] = round(
         o["geometric_consensus"]["overall_mm"]
         / o["geometric"]["overall_mm"], 4)
@@ -182,9 +173,9 @@ def main(weights=os.path.join(REPO, "weights", "golden_sphere_30k")):
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
-    P(f"wrote {path}; proximity gain occ/clean "
-      f"{out['proximity_gain_pct_occluded']}%/"
-      f"{out['proximity_gain_pct_clean']}%; consensus ratio occ/clean "
+    P(f"wrote {path}; prox-mismatch ratio occ/clean "
+      f"{out['prox_mismatch_ratio_occluded']}/"
+      f"{out['prox_mismatch_ratio_clean']}; consensus ratio occ/clean "
       f"{out['consensus_ratio_occluded']}/{out['consensus_ratio_clean']}")
 
 

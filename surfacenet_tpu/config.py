@@ -150,6 +150,17 @@ class FusionConfig:
     # downweighted before the final fuse; the r4 occlusion-robust path,
     # ops/fusion.py::fuse_pairs_consensus, results/occlusion_r04.json).
     fusion_mode: str = "mean"
+    # Proximity term in geometric pair scoring (_select_scored_jit):
+    # > 0 prefers pairs among the nearest visible cameras (Gaussian with
+    # sigma = frac * nearest-camera distance); 0 = angle-only.  Default
+    # 0 because pair-selection geometry is part of the TRAINING
+    # distribution: the shipped weights were trained with angle-only
+    # selection, and applying them with proximity selection collapses
+    # quality 13x (results/occlusion_r04.json angle_only vs prox rows).
+    # Train and apply MUST use the same value; the selection A/B
+    # (results/selection_ab_r04.json) measures prox-trained vs
+    # angle-trained end to end.
+    pair_dist_sigma_frac: float = 0.0
     # consensus-fusion shape: pairs within `deadband` correlation of the
     # cube's best pair keep full weight (clean-scene safety — measured
     # ratio 1.00 on the clean sphere); below it weight decays

@@ -62,7 +62,7 @@ def _select_scored_jit(
     n_pairs: int,
     image_hw: Tuple[int, int],
     pair_sim: Optional[jnp.ndarray] = None,  # (P,) learned pair scores
-    dist_sigma_frac: float = 0.15,
+    dist_sigma_frac: float = 0.0,
 ):
     """Score ALL candidate pairs (geometric x optional learned similarity),
     then top-Nv.  The similarity multiplies the score BEFORE selection, so
@@ -71,19 +71,22 @@ def _select_scored_jit(
     (VERDICT r2 missing #3: weighting alone leaves occluded views voting
     in the thinning).
 
-    The geometric score is baseline angle x PROXIMITY: pairs whose
-    cameras are among the nearest to the cube are strongly preferred
-    (Gaussian in mean camera distance relative to the nearest visible
-    camera, sigma = dist_sigma_frac of it).  Angle alone leaves near-ties
-    across the whole rig and the r4 measurement showed it selecting
-    FAR-SIDE cameras — views whose sightline to the cube's surface region
-    is self-occluded by the object (for +x cubes of the golden sphere,
-    views at azimuth ~180 deg) — costing ~30% overall mm on BOTH the
-    clean and occluded golden scenes vs proximity-aware selection
-    (results/occlusion_r04.json).  Proximity encodes "this camera
-    actually faces the region" for real capture rigs (DTU's hemisphere,
-    rings, turntables) without needing the unknown surface normal.
-    dist_sigma_frac <= 0 restores the angle-only r3 scorer."""
+    dist_sigma_frac > 0 adds a PROXIMITY factor: pairs whose cameras
+    are among the nearest to the cube are preferred (Gaussian in mean
+    camera distance relative to the nearest visible camera, sigma =
+    dist_sigma_frac of it).  Angle alone systematically prefers DISTANT
+    cameras (the same camera chord subtends a smaller angle from
+    farther away, landing nearer the preferred ~20 deg), which the r4
+    campaign measured cutting both ways: with the low-res
+    photoconsistency oracle, proximity selection is 36%/31% better on
+    the occluded/clean golden scenes; but with the shipped TRAINED
+    weights, apply-time proximity collapses quality 13x because the
+    selection geometry is part of the training distribution (~24 deg
+    far-pair baselines vs ~36 deg near-pair baselines), and the
+    distance bias itself dodges near-field occluders
+    (results/occlusion_r04.json).  Hence the default is 0 (angle-only,
+    matching every shipped weight set); train and apply must agree
+    (cfg.fusion.pair_dist_sigma_frac plumbs both)."""
     vis = cube_visible(Ps, origins, extent_mm, image_hw)  # (N, V)
     centers = origins + extent_mm / 2.0  # (N, 3)
     cams = camera_center(Ps)  # (V, 3)
@@ -137,6 +140,7 @@ def select_pairs_geometric(
     n_pairs: int,
     image_hw: Tuple[int, int],
     extent_mm: Optional[float] = None,
+    dist_sigma_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Geometric top-Nv pair selection for a batch of cubes.
 
@@ -147,8 +151,9 @@ def select_pairs_geometric(
     pairs = jnp.asarray(candidate_pairs(Ps.shape[0]))
     if extent_mm is None:
         raise ValueError("extent_mm required")
-    sel, w = _select_geometric_jit(
-        Ps, origins, pairs, float(extent_mm), n_pairs, tuple(image_hw)
+    sel, w = _select_scored_jit(
+        Ps, origins, pairs, float(extent_mm), n_pairs, tuple(image_hw),
+        None, dist_sigma_frac=float(dist_sigma_frac),
     )
     return np.asarray(sel), np.asarray(w)
 

@@ -201,6 +201,7 @@ def run_sweep_sharded(
         pair_selector = functools.partial(
             select_pairs_geometric, n_pairs=cfg.fusion.n_view_pairs,
             image_hw=hw, extent_mm=cfg.voxel.cube_extent_mm,
+            dist_sigma_frac=cfg.fusion.pair_dist_sigma_frac,
         )
 
     images_d = global_put(np.asarray(images, np.float32), replicated(mesh))

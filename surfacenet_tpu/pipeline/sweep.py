@@ -781,6 +781,7 @@ def run_sweep(
         pair_selector = functools.partial(
             select_pairs_geometric, n_pairs=cfg.fusion.n_view_pairs,
             image_hw=hw, extent_mm=cfg.voxel.cube_extent_mm,
+            dist_sigma_frac=cfg.fusion.pair_dist_sigma_frac,
         )
     pair_idx, pair_w = pair_selector(Ps, origins)
     pair_idx = np.asarray(pair_idx)

@@ -223,6 +223,7 @@ def sample_training_batch(
         scene.Ps, origins, n_pairs=k,
         image_hw=scene.images.shape[1:3],
         extent_mm=cfg.voxel.cube_extent_mm,
+        dist_sigma_frac=cfg.fusion.pair_dist_sigma_frac,
     )
     choice = rng.integers(0, k, B)
     pair_idx = sel[np.arange(B), choice].astype(np.int32)
@@ -304,6 +305,7 @@ def make_device_sampler(
         scene.Ps, pts - D * s / 2.0, n_pairs=k,
         image_hw=scene.images.shape[1:3],
         extent_mm=cfg.voxel.cube_extent_mm,
+        dist_sigma_frac=cfg.fusion.pair_dist_sigma_frac,
     )
     return (
         jnp.asarray(pts, jnp.float32),
@@ -446,6 +448,7 @@ def make_pool_sampler(
         scene.Ps, origins, n_pairs=k,
         image_hw=scene.images.shape[1:3],
         extent_mm=cfg.voxel.cube_extent_mm,
+        dist_sigma_frac=cfg.fusion.pair_dist_sigma_frac,
     )
     return (
         jnp.asarray(origins),

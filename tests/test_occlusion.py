@@ -99,41 +99,23 @@ def _cfg_occ(n_pairs, **fusion_kw):
     )
 
 
-def test_proximity_selection_beats_angle_only(occluded_scene):
-    """The r4 C6 finding: baseline-angle-only pair scoring leaves near-
-    ties across the whole rig and ends up selecting FAR-SIDE cameras
-    whose sightline to a cube's surface region is blocked by the object
-    itself.  The production proximity term (prefer pairs among the
-    nearest visible cameras, _select_scored_jit dist_sigma_frac) fixes
-    it: measured 36% better overall on the occluded golden scene and 31%
-    on the clean sphere (results/occlusion_r04.json).  Angle-only is
-    kept reachable via dist_sigma_frac=0 as the control."""
-    import functools
-
-    from surfacenet_tpu.ops.view_pairs import (
-        candidate_pairs, _select_scored_jit,
-    )
-
-    def select_angle_only(Ps, origins, n_pairs, image_hw, extent_mm):
-        pairs = jnp.asarray(candidate_pairs(Ps.shape[0]))
-        sel, w = _select_scored_jit(
-            jnp.asarray(Ps, jnp.float32), jnp.asarray(origins, jnp.float32),
-            pairs, float(extent_mm), n_pairs, tuple(image_hw),
-            dist_sigma_frac=0.0,
-        )
-        return np.asarray(sel), np.asarray(w)
-
+def test_proximity_selection_beats_angle_only_oracle(occluded_scene):
+    """The r4 C6 finding, oracle regime: baseline-angle-only pair
+    scoring systematically prefers DISTANT cameras (the same chord
+    subtends a smaller angle from farther away), and with the model-free
+    photoconsistency predictor at 120x160 the proximity term
+    (fusion.pair_dist_sigma_frac=0.15) is measured 36%/31% better on the
+    occluded/clean golden scenes.  NOTE the production default stays
+    angle-only (pair_dist_sigma_frac=0): with the shipped TRAINED
+    weights, apply-time proximity collapses quality 13x because the
+    selection geometry is part of the training distribution
+    (results/occlusion_r04.json) — this test pins that the knob works
+    and the oracle-regime measurement, not the production default."""
     scene = occluded_scene
-    cfg = _cfg_occ(4)
     gt = scene.surface_points(4000)
-    prox = _overall(scene, cfg, gt)  # production default
-    angle_only = _overall(
-        scene, cfg, gt,
-        functools.partial(
-            select_angle_only, n_pairs=4,
-            image_hw=scene.images.shape[1:3],
-            extent_mm=cfg.voxel.cube_extent_mm,
-        ),
+    angle_only = _overall(scene, _cfg_occ(4), gt)  # production default
+    prox = _overall(
+        scene, _cfg_occ(4, pair_dist_sigma_frac=0.15), gt
     )
     assert prox < angle_only * 0.8, (
         f"proximity {prox:.3f}mm vs angle-only {angle_only:.3f}mm"
@@ -153,14 +135,19 @@ def test_consensus_fusion_helps_occluded_and_safe_on_clean(occluded_scene):
     proximity selection is what actually moves the needle)."""
     scene = occluded_scene
     gt = scene.surface_points(4000)
-    occ_mean = _overall(scene, _cfg_occ(4), gt)
-    occ_cons = _overall(scene, _cfg_occ(4, fusion_mode="consensus"), gt)
+    kw = dict(pair_dist_sigma_frac=0.15)  # bounds measured in this regime
+    occ_mean = _overall(scene, _cfg_occ(4, **kw), gt)
+    occ_cons = _overall(
+        scene, _cfg_occ(4, fusion_mode="consensus", **kw), gt
+    )
     assert occ_cons < occ_mean * 1.005, (occ_cons, occ_mean)
 
     clean = make_sphere_scene(n_views=8, hw=(120, 160))
     gt_c = clean.surface_points(4000)
-    c_mean = _overall(clean, _cfg_occ(3), gt_c)
-    c_cons = _overall(clean, _cfg_occ(3, fusion_mode="consensus"), gt_c)
+    c_mean = _overall(clean, _cfg_occ(3, **kw), gt_c)
+    c_cons = _overall(
+        clean, _cfg_occ(3, fusion_mode="consensus", **kw), gt_c
+    )
     assert c_cons < c_mean * 1.02, (c_cons, c_mean)
 
 
