@@ -53,13 +53,15 @@ def fuse_pairs_consensus(
     (masked zero-mean cosine over the cube's voxels), then re-fuse with
     outlier pairs downweighted.  A pair containing an occluded or
     specularity-corrupted view predicts surface mass that disagrees with
-    the majority consensus at VOXEL granularity — a far richer signal
-    than any per-view patch probe: the r4 measurement campaign showed
-    patch-embedding consensus gates cannot separate a repeated-texture
-    occluder (occluded-view gate mean 0.489 vs clean 0.458, i.e. noise;
-    and ZNCC probes rank the occluder HIGHER because its repeated
-    texture matches itself at every depth), while the per-pair predicted
-    volumes disagree exactly where it matters.
+    the majority consensus at VOXEL granularity.  Measured with the
+    shipped trained weights at the production operating point
+    (results/occlusion_r04.json): occluded golden scene 0.62x geometric
+    (a 38% win) but clean sphere 1.12x — the deadband default below is
+    calibrated to the ORACLE regime's correlation spread (where clean
+    is 0.99x, tests/test_occlusion.py), not the trained model's, so
+    this mode is OPT-IN; the clean-safe production occlusion path is
+    ``--pairnet`` (select_pairs_learned_local: 0.54x occluded, 1.018x
+    clean at the same operating point).
 
     Clean-scene safety mirrors ``consensus_gates``'s flat deadband:
     pairs whose correlation is within ``deadband`` of the cube's best

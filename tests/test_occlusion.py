@@ -125,14 +125,14 @@ def test_proximity_selection_beats_angle_only_oracle(occluded_scene):
 def test_consensus_fusion_helps_occluded_and_safe_on_clean(occluded_scene):
     """fusion_mode="consensus" (ops/fusion.py::fuse_pairs_consensus)
     downweights pairs whose predicted volume dissents from the cube's
-    leave-one-out consensus.  Measured: a small win on the occluded
-    scene (0.983x) and clean-safe (0.991x) — bounds pin no-harm rather
-    than a large win, because the repeated-texture occluder's occ-occ
-    pairs produce mutually-consistent phantom structure that consensus
-    cannot kill (the r4 negative-result campaign in
-    results/occlusion_r04.json: patch-embedding gates, ZNCC plane-sweep
-    probes, and cube-median z-scores all fail to separate this occluder;
-    proximity selection is what actually moves the needle)."""
+    leave-one-out consensus.  In THIS low-res oracle regime the bounds
+    pin no-harm rather than a large win (measured 0.983x occluded,
+    0.991x clean) — the occ-occ pairs' mutually-consistent phantom
+    structure limits within-cube consensus.  At the production 600x800
+    operating point with the trained model the same op wins 38% under
+    occlusion but costs 12% clean (results/occlusion_r04.json), which
+    is why it stays opt-in and --pairnet (46% win, 1.8% clean cost) is
+    the production occlusion path."""
     scene = occluded_scene
     gt = scene.surface_points(4000)
     kw = dict(pair_dist_sigma_frac=0.15)  # bounds measured in this regime
