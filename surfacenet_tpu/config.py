@@ -268,7 +268,13 @@ class TrainConfig:
     # curves (results/robustness_r04.json) show calibration error is the
     # ONE brittle imaging axis of clean-trained weights (sigma=1 px
     # triples overall mm); photometric axes are flat, so only this aug
-    # exists.  0 = off (the shipped-weights default).
+    # exists.  0 = off (the shipped-weights default) — and the measured
+    # A/B (results/robustness_aug_r04.json, 6k-step arms) says keep it
+    # off unless calibration error exceeds ~1.5 px: sigma=0.7 training
+    # flattens the degradation curve (2.92 vs 3.16 mm at 2 px) but
+    # costs 2.3x on well-calibrated data (2.14 vs 0.94 mm clean) — the
+    # blur is paid everywhere, the tolerance only helps past the
+    # crossover.
     aug_calib_sigma_px: float = 0.0
 
 
