@@ -162,11 +162,15 @@ class FusionConfig:
     # angle-trained end to end.
     pair_dist_sigma_frac: float = 0.0
     # consensus-fusion shape: pairs within `deadband` correlation of the
-    # cube's best pair keep full weight (clean-scene safety — measured
-    # ratio 1.00 on the clean sphere); below it weight decays
-    # exp(beta * deficit).
+    # cube's best pair keep full weight; below it weight decays
+    # exp(beta * deficit).  Trained-model deadband scan (r4, production
+    # 600x800): db 0.1/0.2/0.3 -> clean ratio 1.12/1.11/1.06 with the
+    # occluded win stable at 0.62-0.66x — the residual clean cost is
+    # structural (removing a legitimately-low grazing pair raises the
+    # fused mean near the shell), hence consensus stays opt-in and 0.3
+    # ships as the best measured tradeoff.
     consensus_beta: float = 8.0
-    consensus_deadband: float = 0.1
+    consensus_deadband: float = 0.3
     n_pool_views: int = 6  # deduped views used for the thinning vote
     # Ray-max window in voxels: -1 = auto (min(2, overlap//2)); 0 = legacy
     # per-cube segment max (rays chopped at cube faces — boundary
