@@ -117,3 +117,33 @@ def test_sharded_truncation_refetch_per_cube(sphere_scene, tmp_path):
     b = set(map(tuple, np.round(p_sh, 3)))
     jaccard = len(a & b) / max(len(a | b), 1)
     assert jaccard > 0.999, f"jaccard={jaccard}"
+
+
+def test_sharded_consensus_fusion_matches_unsharded(sphere_scene, tmp_path):
+    """fusion_mode="consensus" (r4) through the sharded path: the
+    per-cube LOO-correlation reweight is pure row-wise math, so block
+    sharding must reproduce the single-device result exactly."""
+    import dataclasses
+
+    cfg = _config()
+    cfg = dataclasses.replace(
+        cfg, fusion=dataclasses.replace(cfg.fusion, fusion_mode="consensus")
+    )
+    store_ref, _ = run_sweep(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max,
+        cfg, photoconsistency_predictor,
+    )
+    mesh = make_mesh(n_block=2)
+    store_sh, _ = run_sweep_sharded(
+        sphere_scene.images, sphere_scene.Ps,
+        sphere_scene.bbox_min, sphere_scene.bbox_max,
+        cfg, photoconsistency_predictor, mesh=mesh,
+        ledger_dir=str(tmp_path),
+    )
+    p_ref, _, _ = store_ref.merge()
+    p_sh, _, _ = store_sh.merge()
+    a = set(map(tuple, np.round(p_ref, 3)))
+    b = set(map(tuple, np.round(p_sh, 3)))
+    jaccard = len(a & b) / max(len(a | b), 1)
+    assert jaccard > 0.999, f"consensus sharded differs: jaccard={jaccard}"
