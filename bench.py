@@ -263,27 +263,35 @@ def main():
         )
         cubes_per_s_64 = B64 * n_iters / best64
         # the r4 64^3 stage table shows the model forward is 68% of the
-        # step — the lane-aligned fast model is the documented lever, so
-        # measure it (reuses the fast predictor from the 32^3 extras).
-        try:
-            mcfg = ModelConfig.fast()
-            mmodel, mvars = init_surfacenet(
-                mcfg, jax.random.PRNGKey(0), D=D64
-            )
-            mpredict = make_predictor(mmodel, mvars, mcfg)
-            best64f = time_pipelined(
-                lambda: jnp.sum(
-                    cube_batch_step(
-                        *args64, **dict(kw64, predict=mpredict)
-                    )[1]
-                ),
-                n_iters,
-            )
-            extra["cubes_per_s_64_fast"] = round(
-                B64 * n_iters / best64f, 2
-            )
-        except Exception as e:
-            print(f"bench: 64^3 fast point failed: {e!r}", file=sys.stderr)
+        # step — the conv-side model shape is the lever.  fast() only
+        # wins +8% here (its wide full-volume first block is HBM-bound);
+        # fast64() keeps the first block narrow and lane-aligns only the
+        # pooled deep blocks (1.42x isolated forward at the production
+        # batch, results/fast64_bench_r04_b120.json) — measure both.
+        for name64, mk64 in (("fast", ModelConfig.fast),
+                             ("fast64", ModelConfig.fast64)):
+            try:
+                mcfg = mk64()
+                mmodel, mvars = init_surfacenet(
+                    mcfg, jax.random.PRNGKey(0), D=D64
+                )
+                mpredict = make_predictor(mmodel, mvars, mcfg)
+                best64f = time_pipelined(
+                    lambda: jnp.sum(
+                        cube_batch_step(
+                            *args64, **dict(kw64, predict=mpredict)
+                        )[1]
+                    ),
+                    n_iters,
+                )
+                extra[f"cubes_per_s_64_{name64}"] = round(
+                    B64 * n_iters / best64f, 2
+                )
+            except Exception as e:
+                print(
+                    f"bench: 64^3 {name64} point failed: {e!r}",
+                    file=sys.stderr,
+                )
     except Exception as e:  # 64^3 must not take down the headline metric
         print(f"bench: 64^3 point failed: {e!r}", file=sys.stderr)
 

@@ -107,6 +107,27 @@ class ModelConfig:
         )
 
     @staticmethod
+    def fast64() -> "ModelConfig":
+        """64^3-shaped throughput point: narrow first block, aligned deep.
+
+        At 64^3 the full-volume first block is HBM-bound, not MXU-bound:
+        ``fast()``'s 128-ch first conv emits a 67 MB/item bf16 activation
+        and eats its FLOP cut (only +8% e2e at 64^3).  Keeping the first
+        block at the paper's 32 ch (17 MB/item) and lane-aligning only
+        the pooled deep blocks wins decisively at the production 64^3
+        batch (120 items): 1311.7 items/s vs fast's 925.0 (1.42x) vs
+        paper's ~707 — results/fast64_bench_r04_b120.json ("n64C").
+        At 32^3 the same shape loses to ``fast()`` (small volumes are
+        MXU-bound, where 32 output lanes waste 75% of the MXU), so this
+        is specifically the 64^3 apply-point model.
+        """
+        return ModelConfig(
+            block_channels=(32, 128, 128, 256),
+            convs_per_block=(1, 2, 2, 2),
+            side_channels=16,
+        )
+
+    @staticmethod
     def tiny() -> "ModelConfig":
         """Small config for tests / CPU (fast compile, same topology)."""
         return ModelConfig(
