@@ -61,6 +61,9 @@ MODELS = {
     "fastF": lambda: ModelConfig(
         block_channels=(128, 128, 256, 256), convs_per_block=(1, 1, 2, 3)
     ),
+    # r4: the 64^3-shaped point — narrow HBM-lean first block, aligned
+    # deep blocks (results/fast64_bench_r04_b120.json, fast64_step_r04).
+    "fast64": ModelConfig.fast64,
 }
 
 
@@ -175,7 +178,8 @@ def main(n_steps: int = 30000, which: str = "both", model: str = "aligned"):
             "weights": os.path.relpath(wdir, REPO),
             "grid": rows, "best": best,
         }
-        path = os.path.join(REPO, "results", f"quality_r03_{model}.json")
+        tag = "r04" if model == "fast64" else "r03"
+        path = os.path.join(REPO, "results", f"quality_{tag}_{model}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         P(f"[{name}] best: {best}")
