@@ -33,6 +33,25 @@ def test_fully_convolutional():
     assert p.shape == (1, 24, 24, 24)
 
 
+def test_named_presets_forward():
+    """Every named operating point (paper / aligned / fast / fast64)
+    initializes and runs forward; fast64 keeps its HBM-lean narrow first
+    block (the 64^3 win in results/fast64_bench_r04_b120.json depends on
+    it -- guard against accidental widening)."""
+    presets = {
+        "paper": ModelConfig(),
+        "aligned": ModelConfig.mxu_aligned(),
+        "fast": ModelConfig.fast(),
+        "fast64": ModelConfig.fast64(),
+    }
+    assert presets["fast64"].block_channels[0] == 32
+    for name, cfg in presets.items():
+        model, variables = init_surfacenet(cfg, jax.random.PRNGKey(0), D=8)
+        x = jnp.zeros((1, 8, 8, 8, cfg.in_channels))
+        p = model.apply(variables, x, train=False)
+        assert p.shape == (1, 8, 8, 8), name
+
+
 def test_logits_match_probabilities():
     cfg = ModelConfig.tiny()
     model, variables = init_surfacenet(cfg, jax.random.PRNGKey(0), D=16)
