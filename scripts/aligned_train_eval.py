@@ -20,7 +20,14 @@ arg naming the model; weights ship to weights/golden_{scene}_{model}_30k
 and the grid to results/quality_r03_{model}.json.
 
 Usage: python scripts/aligned_train_eval.py [n_steps] [sphere|tori|both]
-           [aligned|fastA|fastE|fastF]
+           [aligned|fastA|fastE|fastF|fast64]
+
+NOTE on fast64: this recipe trains AND evaluates at cube_size=32 (the
+repo's train-32 convention), so the grid it writes qualifies fast64's
+*learning capacity* at 32^3 only.  The preset's claim is the 64^3 apply
+point — that qualification (64^3 apply on the trained weights, DTU
+operating point) is run by scripts/op_point_qualify.py (r5), which
+writes results/quality_r05_64.json.
 """
 
 import os, sys

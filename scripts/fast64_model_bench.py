@@ -80,7 +80,8 @@ def main():
     for name, cfg in CANDIDATES.items():
         out[name] = measure(cfg)
         print(name, json.dumps(out[name]), flush=True)
-    with open("results/fast64_bench_r04.json", "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "results", "fast64_bench_r04.json"), "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
 
