@@ -262,6 +262,23 @@ def main():
             lambda: jnp.sum(cube_batch_step(*args64, **kw64)[1]), n_iters
         )
         cubes_per_s_64 = B64 * n_iters / best64
+        # 64^3 MFU accounting (VERDICT r4 next #5): the 64^3 point needs
+        # the same discipline as 32^3 — fwd MFU (isolated forward at the
+        # production 120-item batch) and e2e MFU for paper widths.
+        fm64 = FlopModel(cfg.model, D64)
+        n_items64 = B64 * cfg.fusion.n_view_pairs
+        x64 = jnp.zeros((n_items64, D64, D64, D64, 6), jnp.float32)
+        fwd64 = jax.jit(lambda x: predict(x, None))
+        best_f64 = time_pipelined(lambda: jnp.sum(fwd64(x64)), n_iters)
+        extra["model_fwd_mfu_pct_64"] = round(
+            100.0 * fm64.utilization(n_items64 * n_iters / best_f64, peak),
+            1,
+        )
+        extra["e2e_mfu_pct_64"] = round(
+            100.0 * fm64.utilization(
+                cubes_per_s_64 * cfg.fusion.n_view_pairs, peak
+            ), 1,
+        )
         # the r4 64^3 stage table shows the model forward is 68% of the
         # step — the conv-side model shape is the lever.  fast() only
         # wins +8% here (its wide full-volume first block is HBM-bound);
@@ -284,9 +301,31 @@ def main():
                     ),
                     n_iters,
                 )
-                extra[f"cubes_per_s_64_{name64}"] = round(
-                    B64 * n_iters / best64f, 2
-                )
+                cps64 = B64 * n_iters / best64f
+                extra[f"cubes_per_s_64_{name64}"] = round(cps64, 2)
+                if name64 == "fast64":
+                    # MFU for the shipped 64^3 operating point (VERDICT
+                    # r4 next #5): fwd at the production 120-item batch
+                    # + e2e of the full step.
+                    mfm64 = FlopModel(mcfg, D64)
+                    xf = jnp.zeros(
+                        (n_items64, D64, D64, D64, mcfg.in_channels),
+                        jnp.float32,
+                    )
+                    mf = jax.jit(lambda x: mpredict(x, None))
+                    bf = time_pipelined(
+                        lambda: jnp.sum(mf(xf)), n_iters
+                    )
+                    extra["model_fwd_mfu_pct_64_fast64"] = round(
+                        100.0 * mfm64.utilization(
+                            n_items64 * n_iters / bf, peak
+                        ), 1,
+                    )
+                    extra["e2e_mfu_pct_64_fast64"] = round(
+                        100.0 * mfm64.utilization(
+                            cps64 * cfg.fusion.n_view_pairs, peak
+                        ), 1,
+                    )
             except Exception as e:
                 print(
                     f"bench: 64^3 {name64} point failed: {e!r}",

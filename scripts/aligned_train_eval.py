@@ -161,10 +161,16 @@ def main(n_steps: int = 30000, which: str = "both", model: str = "aligned"):
                                          focal=800.0)
 
     mc = MODELS[model]()
+    tag = "r04" if model == "fast64" else "r03"
+    path = os.path.join(REPO, "results", f"quality_{tag}_{model}.json")
     out = {"model": f"{model}: ch={mc.block_channels} "
                     f"convs={mc.convs_per_block}",
            "recipe": f"{n_steps} steps, batch 16, lr 3e-3 cosine, s=0.5mm",
            "scenes": {}}
+    if os.path.exists(path):  # partial runs merge into the existing grid
+        with open(path) as f:
+            prev = json.load(f)
+        out["scenes"].update(prev.get("scenes", {}))
     for name, scene in scenes.items():
         cfg = base_config(n_steps, on_tpu, model)
         t0 = time.perf_counter()
@@ -185,8 +191,6 @@ def main(n_steps: int = 30000, which: str = "both", model: str = "aligned"):
             "weights": os.path.relpath(wdir, REPO),
             "grid": rows, "best": best,
         }
-        tag = "r04" if model == "fast64" else "r03"
-        path = os.path.join(REPO, "results", f"quality_{tag}_{model}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         P(f"[{name}] best: {best}")

@@ -237,6 +237,17 @@ class SweepConfig:
     # 8-dispatch sub-cube tiling with ONE dispatch.  Sub-window sizes come
     # from auto_chunk_hw per scene.  Ignored by the XLA gather path.
     gather_chunk_windows: bool = True
+    # Self-calibration refinement prepass (geometry/refine.py; VERDICT r4
+    # next #4): photometric bundle adjustment of per-view image-space
+    # shifts against cross-view consistency before the sweep.
+    # Calibration error is the ONE brittle robustness axis
+    # (results/robustness_r04.json: sigma=1 px triples error); the
+    # prepass recovers most of it and is clean-safe (finds ~0 shift on
+    # clean scenes) — measured in results/robustness_r05.json.  A second
+    # pass runs automatically when the first detects shifts > 1 px.
+    refine_calib: bool = False
+    refine_calib_steps: int = 80  # Adam steps per pyramid level/phase
+    refine_calib_probes: int = 2048  # photometric probe points
 
 
 @dataclasses.dataclass(frozen=True)

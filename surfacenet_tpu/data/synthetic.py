@@ -448,6 +448,32 @@ class OccludedScene(SyntheticScene):
     occ_normal: np.ndarray = None
     occ_radius: float = 0.0
 
+    def point_occlusion_matrix(self, pts: np.ndarray) -> np.ndarray:
+        """(N, V) bool: does view v's ray to point p cross the occluder?
+
+        The analytic per-(point, view) occlusion oracle — used by the r5
+        occlusion-aware triplet sampler (train/train_pair.py): a patch of
+        an occluded view at p's projection shows the DISK's texture, the
+        exact appearance the pairnet must learn to score as non-matching.
+        """
+        pts = np.asarray(pts, np.float64)
+        V = self.Ps.shape[0]
+        out = np.zeros((len(pts), V), bool)
+        for v in range(V):
+            M = self.Ps[v][:, :3]
+            cam = -np.linalg.solve(M, self.Ps[v][:, 3])
+            d = pts - cam
+            denom = d @ self.occ_normal
+            safe = np.where(np.abs(denom) < 1e-9, np.inf, denom)
+            t = ((self.occ_center - cam) @ self.occ_normal) / safe
+            p = cam + t[:, None] * d
+            out[:, v] = (
+                (t > 0.0) & (t < 1.0)
+                & (np.linalg.norm(p - self.occ_center, axis=-1)
+                   < self.occ_radius)
+            )
+        return out
+
     def occluded_views(self) -> np.ndarray:
         """Views whose ray to the sphere center crosses the disk."""
         out = []

@@ -1,0 +1,437 @@
+"""Self-calibration refinement prepass (VERDICT r4 next #4).
+
+The one brittle robustness axis measured in results/robustness_r04.json is
+calibration error: a sigma=1 px per-view principal-point shift triples the
+reconstruction error (the photometric axes are all flat).  The reference
+had no answer to imperfect calibration either (its DTU `pos_*.txt`
+matrices are trusted as-is; SURVEY.md C2).  The TPU-native fix is a
+pre-sweep *photometric bundle adjustment*: the CVC gather is
+differentiable, so per-view image-space corrections can be optimized
+directly against cross-view photo-consistency on device — a few hundred
+Adam steps over a few thousand probe points, seconds of prepass for a
+3.2x quality cliff.
+
+Model: per-view 2D correction duv_v applied exactly like the calibration
+error it compensates (P[0] += du*P[2], P[1] += dv*P[2] — an image-space
+shift of the projection).  This is the first-order model of
+principal-point / small-rotation error; richer 6-DoF models can reuse the
+same objective.
+
+Structure:
+  1. `photometric_probes`: coarse voxel grid over the scene bbox, scored
+     by texture-gated cross-view color consistency (the model-free oracle
+     of pipeline/sweep.photoconsistency_predictor, evaluated pointwise);
+     top-K survivors are the probe set.  With sigma<=2 px of calibration
+     error the coarse score still peaks on the true surface.
+  2. `refine_calibration`: joint Adam optimization of per-view shifts
+     duv (V, 2) and bounded per-probe 3D slack dx (K, 3) minimizing a
+     Huber photometric residual to the per-probe cross-view mean color,
+     on a mean-pooled image pyramid (coarse levels widen the bilinear
+     gradient basin beyond the shift magnitude; fine levels sharpen).
+     The mean-zero gauge on duv pins the world frame (a common shift of
+     all views is absorbed by the probe slack otherwise); the residual
+     ungauged error is mean(true_du) ~ sigma/sqrt(V).
+
+Measured in results/robustness_r05.json (scripts/robustness_refine_eval.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenet_tpu.geometry.camera import precise_divide
+from surfacenet_tpu.ops.cvc import bilinear_sample
+
+
+def apply_uv_shift(Ps: jnp.ndarray, duv: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-view image-space shifts to projection matrices.
+
+    P'[0] = P[0] + du*P[2]; P'[1] = P[1] + dv*P[2] — the same first-order
+    calibration model as data/synthetic.degrade_scene(calib_sigma_px=...),
+    so a recovered duv = -true_duv restores the original matrices exactly.
+
+    Args:
+      Ps: (V, 3, 4); duv: (V, 2) pixels.
+    Returns (V, 3, 4).
+    """
+    Ps = jnp.asarray(Ps)
+    row0 = Ps[:, 0] + duv[:, 0:1] * Ps[:, 2]
+    row1 = Ps[:, 1] + duv[:, 1:2] * Ps[:, 2]
+    return jnp.stack([row0, row1, Ps[:, 2]], axis=1)
+
+
+def _project_uv(Ps: jnp.ndarray, pts: jnp.ndarray):
+    """(V, 3, 4) x (K, 3) -> uv (V, K, 2), w (V, K)."""
+    ones = jnp.ones((*pts.shape[:-1], 1), pts.dtype)
+    ph = jnp.concatenate([pts, ones], axis=-1)  # (K, 4)
+    proj = jnp.einsum(
+        "vrc,kc->vkr", Ps, ph, precision=jax.lax.Precision.HIGHEST
+    )  # (V, K, 3)
+    w = proj[..., 2]
+    uv = precise_divide(proj[..., :2], w[..., None] + 1e-8)
+    return uv, w
+
+
+def _sample_views(images: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndarray):
+    """Sample every view at its uv.  images (V,H,W,3), uv (V,K,2) ->
+    colors (V,K,3), valid (V,K)."""
+    colors, valid = jax.vmap(bilinear_sample)(images, uv)
+    return colors, valid & (w > 0)
+
+
+def _robust_view_stats(
+    c: jnp.ndarray,  # (V, K, 3) sampled colors
+    m: jnp.ndarray,  # (V, K) valid
+    *,
+    T: float = 0.02,
+    iters: int = 2,
+):
+    """IRLS-robust per-probe cross-view color statistics.
+
+    A probe on a closed surface is OCCLUDED in roughly half the views of a
+    camera ring — its projection there lands on a different (front)
+    surface patch with unrelated texture.  Plain cross-view variance is
+    therefore meaningless (measured: median consistency of TRUE golden-
+    sphere surface points under the all-views variance is 0.005).  The
+    robust weights w_v = exp(-||c_v - c_ref||^2 / T), re-centered twice,
+    concentrate on the self-consistent (visible) subset and zero out
+    occluded views — visibility estimation without geometry.
+
+    Returns (mean (K, 3), weights (V, K), weighted variance (K,)).
+    """
+    mf = m.astype(jnp.float32)
+    w = mf
+    mean = None
+    for _ in range(iters + 1):
+        denom = jnp.maximum(jnp.sum(w, axis=0), 1e-6)
+        mean = jnp.einsum("vk,vkc->kc", w, c) / denom[:, None]
+        d2 = jnp.mean((c - mean[None]) ** 2, axis=-1)  # (V, K)
+        w = mf * jnp.exp(-d2 / T)
+    denom = jnp.maximum(jnp.sum(w, axis=0), 1e-6)
+    var = jnp.sum(w * d2, axis=0) / denom
+    return mean, w, var
+
+
+def photometric_probes(
+    images: jnp.ndarray,
+    Ps: jnp.ndarray,
+    bbox_min: np.ndarray,
+    bbox_max: np.ndarray,
+    *,
+    n_probes: int = 2048,
+    grid: int = 48,
+    texture_eps_mm: float | None = None,
+    pool: int = 4,
+) -> np.ndarray:
+    """Top-K photo-consistent, textured 3D points on a coarse bbox grid.
+
+    Scored on ``pool``x mean-pooled images: at full resolution a 1-2 px
+    calibration error decorrelates high-frequency texture across even the
+    VISIBLE views and the robust weights collapse (measured: true-surface
+    effective view count 1.5 of ~4 visible); pooling restores agreement
+    at exactly the scale the coarse alignment levels use.
+
+    Texture gating mirrors pipeline/sweep.photoconsistency_predictor:
+    textureless background agrees across views but carries no alignment
+    signal, so consistency alone floods the probe set with background.
+    Texture = weighted HARMONIC mean over the agreeing views of each
+    view's local sample variance (6 spatial offsets at ~1 grid cell) —
+    harmonic, because a silhouette-ghost point agrees on *background* in
+    most views while a couple of rim-crossing offset samples inject
+    spurious texture: any agreeing-but-textureless view must veto
+    (measured: arithmetic weighting selected 99.8% ghosts).
+
+    Returns (n_probes, 3) float32 world points.
+    """
+    bbox_min = np.asarray(bbox_min, np.float64)
+    bbox_max = np.asarray(bbox_max, np.float64)
+    step = (bbox_max - bbox_min) / grid
+    if texture_eps_mm is None:
+        texture_eps_mm = float(np.min(step))
+    axes = [
+        bbox_min[i] + (np.arange(grid) + 0.5) * step[i] for i in range(3)
+    ]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    centers = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    imgs_p = _build_pyramid(jnp.asarray(images, jnp.float32), (pool,))[pool]
+    Ps_j = jnp.asarray(Ps, jnp.float32)
+
+    @jax.jit
+    def score_chunk(pts):
+        def sample(p):
+            uv, w = _project_uv(Ps_j, p)
+            uv_p = (uv + 0.5) / pool - 0.5
+            return _sample_views(imgs_p, uv_p, w)
+
+        c, m = sample(pts)
+        mean, wts, var = _robust_view_stats(c, m)
+        consistency = jnp.exp(-var * 60.0)
+
+        offs = jnp.concatenate(
+            [jnp.eye(3), -jnp.eye(3)], axis=0
+        ) * texture_eps_mm  # (6, 3)
+        tex_acc = 0.0
+        for o in offs:
+            c_o, m_o = sample(pts + o[None])
+            tex_acc = tex_acc + jnp.mean(
+                (c_o - c) ** 2, axis=-1
+            ) * m_o.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(wts, axis=0), 1e-6)
+        # weighted harmonic mean: one textureless agreeing view -> ~tau
+        tau = 1e-4
+        tex = denom / jnp.maximum(
+            jnp.sum(wts / (tex_acc + tau), axis=0), 1e-9
+        ) - tau
+        texture_gate = 1.0 - jnp.exp(-tex * 300.0)
+        # need an effective agreeing-view count >= 3 for alignment signal
+        enough = denom >= 3.0
+        return consistency * texture_gate * enough.astype(jnp.float32)
+
+    # chunked to bound device memory at large grids
+    scores = []
+    CH = 65536
+    for i in range(0, len(centers), CH):
+        scores.append(
+            np.asarray(score_chunk(jnp.asarray(centers[i : i + CH],
+                                               jnp.float32)))
+        )
+    scores = np.concatenate(scores)
+    k = min(n_probes, len(centers))
+    top = np.argpartition(-scores, k - 1)[:k]
+    probes = centers[top].astype(np.float32)
+
+    # sub-cell localization: the winning cell centers are up to half a
+    # cell (~grid/2 mm) off the true surface, and probe position error is
+    # the dominant term in the downstream duv residual (measured: oracle
+    # probes 0.09 px vs cell centers 0.59 px).  Re-score each probe's
+    # 27-neighborhood at shrinking offsets and hill-climb the argmax.
+    offs27 = np.array(
+        [[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for l in (-1, 0, 1)], np.float32
+    )
+    h = np.asarray(step, np.float32) / 2.0
+    for _ in range(3):
+        cand = (
+            probes[:, None, :] + offs27[None] * h[None, None]
+        ).reshape(-1, 3)
+        sc = []
+        for i in range(0, len(cand), CH):
+            sc.append(np.asarray(
+                score_chunk(jnp.asarray(cand[i : i + CH], jnp.float32))
+            ))
+        sc = np.concatenate(sc).reshape(len(probes), 27)
+        probes = cand.reshape(len(probes), 27, 3)[
+            np.arange(len(probes)), np.argmax(sc, axis=1)
+        ]
+        h = h / 2.0
+    return probes.astype(np.float32)
+
+
+def _build_pyramid(images: jnp.ndarray, levels: Tuple[int, ...]):
+    """Mean-pool pyramid of (V, H, W, 3) at the given integer factors."""
+    pyr = {}
+    for lv in sorted(set(levels), reverse=True):
+        if lv == 1:
+            pyr[1] = images
+            continue
+        V, H, W, C = images.shape
+        Hc, Wc = (H // lv) * lv, (W // lv) * lv
+        x = images[:, :Hc, :Wc]
+        x = x.reshape(V, Hc // lv, lv, Wc // lv, lv, C).mean(axis=(2, 4))
+        pyr[lv] = x
+    return pyr
+
+
+def _remove_rigid(dx: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Project the best-fit rigid motion (translation + infinitesimal
+    rotation) out of a per-point displacement field.
+
+    The photometric objective has a near-gauge: a rigid transform of the
+    whole probe cloud induces per-view image shifts that a (mean-zero)
+    duv pattern can cancel at almost no photometric cost — a 6-parameter
+    family of spurious optima (measured: the alternating optimizer
+    plateaus at ~0.44 px residual ON this family even from oracle-quality
+    probes; with the rigid modes projected out it reaches the same
+    ~0.09 px as fixed probes).  Surface-snapping is non-rigid and
+    survives the projection.
+    """
+    t = jnp.mean(dx, axis=0)
+    xc = x - jnp.mean(x, axis=0)
+    r = dx - t
+    # omega* = argmin sum ||r - omega x xc||^2  ->  A omega = b
+    x2 = jnp.sum(xc * xc, axis=-1)[:, None, None]
+    A = jnp.sum(
+        x2 * jnp.eye(3)[None] - xc[:, :, None] * xc[:, None, :], axis=0
+    )
+    b = jnp.sum(jnp.cross(xc, r), axis=0)
+    omega = jnp.linalg.solve(A + 1e-6 * jnp.eye(3), b)
+    return r - jnp.cross(jnp.broadcast_to(omega, xc.shape), xc)
+
+
+def refine_calibration(
+    images,
+    Ps,
+    bbox_min,
+    bbox_max,
+    *,
+    n_probes: int = 2048,
+    grid: int = 64,
+    slack_mm: float = 0.5,
+    levels: Tuple[int, ...] = (8, 4, 2, 1),
+    steps_per_level: int = 80,
+    lr: float = 0.3,
+    huber_delta: float = 0.1,
+):
+    """Estimate and apply per-view image-space calibration corrections.
+
+    Returns (Ps_refined (V,3,4) float32 np, info dict).  On a clean scene
+    the optimum is duv ~= 0, so the prepass is clean-safe by construction
+    (measured in results/robustness_r05.json).
+    """
+    import optax
+
+    images_j = jnp.asarray(images, jnp.float32)
+    Ps_j = jnp.asarray(Ps, jnp.float32)
+    probes = jnp.asarray(
+        photometric_probes(
+            images_j, Ps_j, bbox_min, bbox_max,
+            n_probes=n_probes, grid=grid,
+        )
+    )
+    V = Ps_j.shape[0]
+    K = probes.shape[0]
+    pyr = _build_pyramid(images_j, tuple(levels))
+
+    def loss_fn(params, imgs_lv, lv, grad_mask):
+        # grad_mask freezes one parameter group per phase (see below)
+        duv = params["duv"]
+        dx = _remove_rigid(jnp.tanh(params["dx"]) * slack_mm, probes)
+        if grad_mask == "duv":
+            dx = jax.lax.stop_gradient(dx)
+        else:
+            duv = jax.lax.stop_gradient(duv)
+        duv = duv - jnp.mean(duv, axis=0, keepdims=True)
+        Pshift = apply_uv_shift(Ps_j, duv)
+        uv, w = _project_uv(Pshift, probes + dx)
+        uv_lv = (uv + 0.5) / lv - 0.5
+        c, m = _sample_views(imgs_lv, uv_lv, w)
+        mean, wts, _ = _robust_view_stats(c, m)
+        # the robust weights identify the VISIBLE view subset (occlusion
+        # handling; see _robust_view_stats) — stop their gradient so the
+        # optimizer aligns colors within that subset instead of gaming
+        # the weighting itself.
+        wts = jax.lax.stop_gradient(wts)[..., None]
+        r = (c - mean[None])  # (V, K, 3)
+        hub = jnp.where(
+            jnp.abs(r) <= huber_delta,
+            0.5 * r * r,
+            huber_delta * (jnp.abs(r) - 0.5 * huber_delta),
+        )
+        # per-probe robust reweighting: the coarse-grid probe set carries
+        # a fat tail of off-surface junk (measured: median 2.3 mm, MEAN
+        # 3.8 mm from the true surface) whose residuals never converge
+        # and whose gradients bias duv.  Downweight probes by their own
+        # residual relative to the cohort median (stop-gradient — a
+        # weighting, not an objective term).
+        wsum = jnp.maximum(jnp.sum(wts, axis=(0, 2)), 1e-6)  # (K,)
+        r_probe = jnp.sum(hub * wts, axis=(0, 2)) / wsum  # (K,)
+        med = jnp.median(jax.lax.stop_gradient(r_probe))
+        w_probe = jax.lax.stop_gradient(
+            jnp.exp(-r_probe / jnp.maximum(2.0 * med, 1e-8))
+        )
+        num = jnp.sum(r_probe * w_probe * wsum)
+        return num / jnp.maximum(jnp.sum(w_probe * wsum), 1e-6)
+
+    params = {
+        "duv": jnp.zeros((V, 2), jnp.float32),
+        "dx": jnp.zeros((K, 3), jnp.float32),
+    }
+    info = {"level_losses": []}
+
+    def run_phase(params, imgs_lv, lv, which, n_steps):
+        """One Adam phase optimizing ONLY `which` ("dx" | "duv").
+
+        Alternating instead of joint: the joint problem has a
+        near-null-space (translate all probes <-> shift all views) that
+        Adam wanders along — measured residual 0.35 px with joint
+        optimization vs 0.09 px alternating at sigma=1 (oracle probes).
+        Structure phase (dx) snaps probes to the apparent photometric
+        surface; pose phase (duv) then has no translation freedom.
+        """
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+
+        @functools.partial(jax.jit, static_argnames=("lv", "which"))
+        def run(params, opt_state, imgs_lv, lv, which):
+            def step(carry, _):
+                p, s = carry
+                l, g = jax.value_and_grad(loss_fn)(p, imgs_lv, lv, which)
+                updates, s = tx.update(g, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), l
+
+            (params, opt_state2), losses = jax.lax.scan(
+                step, (params, opt_state), None, length=n_steps
+            )
+            return params, losses
+
+        return run(params, opt_state, imgs_lv, lv, which)
+
+    for lv in levels:
+        imgs_lv = pyr[lv]
+        params, l_dx = run_phase(
+            params, imgs_lv, lv, "dx", steps_per_level
+        )
+        params, l_duv = run_phase(
+            params, imgs_lv, lv, "duv", steps_per_level
+        )
+        info["level_losses"].append(
+            (int(lv), float(l_dx[0]), float(l_duv[-1]))
+        )
+
+    duv = np.asarray(
+        params["duv"] - jnp.mean(params["duv"], axis=0, keepdims=True)
+    )
+    info["duv_px"] = duv
+    info["max_shift_px"] = float(np.abs(duv).max())
+    Ps_out = np.asarray(apply_uv_shift(Ps_j, jnp.asarray(duv)), np.float32)
+    return Ps_out, info
+
+
+def refine_calibration_auto(
+    images,
+    Ps,
+    bbox_min,
+    bbox_max,
+    *,
+    second_pass_threshold_px: float = 1.0,
+    **kw,
+):
+    """Production entry: one refinement pass, plus a second pass from the
+    corrected matrices when the first detects shifts beyond
+    ``second_pass_threshold_px`` (badly-calibrated scene; the second pass
+    re-selects probes with the better cameras and composes corrections —
+    measured to help at sigma>=1 px and to never trigger on clean scenes,
+    whose detected shifts are ~0.2 px).
+
+    Returns (Ps_refined, info) with info["duv_px"] the TOTAL correction.
+    """
+    Ps1, i1 = refine_calibration(images, Ps, bbox_min, bbox_max, **kw)
+    if i1["max_shift_px"] <= second_pass_threshold_px:
+        i1["passes"] = 1
+        return Ps1, i1
+    Ps2, i2 = refine_calibration(images, Ps1, bbox_min, bbox_max, **kw)
+    total = i1["duv_px"] + i2["duv_px"]
+    info = {
+        "passes": 2,
+        "duv_px": total,
+        "max_shift_px": float(np.abs(total).max()),
+        "level_losses": i1["level_losses"] + i2["level_losses"],
+    }
+    return Ps2, info

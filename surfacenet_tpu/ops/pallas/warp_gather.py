@@ -456,6 +456,25 @@ def warp_gather_pallas(
     chunked_mode = chunk_hw[0] > 0 and chunk_hw[1] > 0
     if PC <= 0:
         PC = min(D**3, 8192 if chunked_mode else 1024)
+    if chunked_mode:
+        # Mosaic scoped-VMEM guard: the kernel's matmul-form hat matrices
+        # (hatV (SH, PC), hatW (SW, PC) + the (SW, PC) contraction temp)
+        # scale as PC*(SH+SW).  Measured on v5e: (PC=8192, SH+SW=560)
+        # allocates a 16.05 MB kernel stack vs the 16 MB scoped limit
+        # (tori-geometry crops; compile failure r5).  Halve PC until the
+        # calibrated estimate (3.5 B per hat element) fits with margin —
+        # thinner slabs under the SAME caller-sized windows stay covered
+        # (windows are recomputed per actual PC inside _warp_gather_chunk
+        # and shrink monotonically with slab extent), at the cost of more
+        # grid steps.
+        _H, _W = images.shape[1], images.shape[2]
+        _SH, _SW = min(chunk_hw[0], _H), min(chunk_hw[1], _W)
+        while (
+            PC > 512
+            and PC * (_SH + _SW) * 3.5 > 14e6
+            and (D**3) % (PC // 2) == 0
+        ):
+            PC //= 2
     cap = GATHER_ITEM_CHUNK
     if chunked_mode:
         n_chunks = (D * D * D) // min(PC, D * D * D)

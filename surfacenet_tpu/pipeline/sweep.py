@@ -733,6 +733,21 @@ def run_sweep(
     s = cfg.voxel.voxel_size_mm
     hw = images.shape[1:3]
 
+    if cfg.sweep.refine_calib:
+        # self-calibration prepass (geometry/refine.py): photometric
+        # bundle adjustment of per-view image-space shifts — the fix for
+        # the one brittle robustness axis (results/robustness_r05.json).
+        from surfacenet_tpu.geometry.refine import refine_calibration_auto
+
+        Ps, rinfo = refine_calibration_auto(
+            images, Ps, bbox_min, bbox_max,
+            steps_per_level=cfg.sweep.refine_calib_steps,
+            n_probes=cfg.sweep.refine_calib_probes,
+        )
+        if metrics is not None:
+            metrics.gauge("refine_calib_max_shift_px", rinfo["max_shift_px"])
+            metrics.gauge("refine_calib_passes", rinfo["passes"])
+
     grid, origins = enumerate_cubes(
         np.asarray(bbox_min, np.float64), np.asarray(bbox_max, np.float64),
         cfg,

@@ -55,11 +55,20 @@ def sample_triplets(
     cfg: Config,
     rng: np.random.Generator,
     batch: Optional[int] = None,
+    hard_negative_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sample (anchor, positive, negative) patch batches.
 
     Points/views are resampled until the surface point is inside both the
     anchor and positive frusta (rejection on host; fixed output shape).
+
+    ``hard_negative_frac`` (r5, SURVEY C6/C12): on scenes with an analytic
+    occluder (OccludedScene.point_occlusion_matrix), that fraction of
+    negatives is the SAME 3D point seen through the occluder — the patch
+    shows the disk's texture at exactly the image location a naive
+    selector would sample, which is the discrimination the production
+    cube-local gates need (results/occlusion_r04/r05.json).  Anchors and
+    positives are always unoccluded views of their point.
     """
     B = batch or cfg.train.batch_size
     P = cfg.pairnet.patch_size
@@ -69,6 +78,16 @@ def sample_triplets(
     anchors = np.zeros((B, P, P, 3), np.float32)
     positives = np.zeros((B, P, P, 3), np.float32)
     negatives = np.zeros((B, P, P, 3), np.float32)
+
+    occ_aware = hard_negative_frac > 0.0 and hasattr(
+        scene, "point_occlusion_matrix"
+    )
+
+    def in_patch_bounds(uv):
+        return (
+            (uv > P // 2).all(-1)
+            & (uv < [hw[1] - P // 2, hw[0] - P // 2]).all(-1)
+        )
 
     Ps = scene.Ps
     filled = 0
@@ -84,11 +103,14 @@ def sample_triplets(
         ok = (
             (np.asarray(wa)[:, 0] > 0)
             & (np.asarray(wb)[:, 0] > 0)
-            & (uv_a > P // 2).all(-1)
-            & (uv_b > P // 2).all(-1)
-            & (uv_a < [hw[1] - P // 2, hw[0] - P // 2]).all(-1)
-            & (uv_b < [hw[1] - P // 2, hw[0] - P // 2]).all(-1)
+            & in_patch_bounds(uv_a)
+            & in_patch_bounds(uv_b)
         )
+        occ_mat = None
+        if occ_aware:
+            occ_mat = scene.point_occlusion_matrix(pts)  # (n, V)
+            # anchor/positive must be clean sightlines of the point
+            ok &= ~occ_mat[np.arange(n), va] & ~occ_mat[np.arange(n), vb]
         idx = np.nonzero(ok)[0][: B - filled]
         if len(idx) == 0:
             continue
@@ -101,9 +123,29 @@ def sample_triplets(
         )
         # negatives: positive patches of a shuffled other point
         perm = np.roll(idx, 1)
-        negatives[filled : filled + k] = extract_patches(
-            scene.images, vb[perm], uv_b[perm], P
-        )
+        neg = extract_patches(scene.images, vb[perm], uv_b[perm], P)
+        if occ_aware:
+            # hard negatives: same point, occluded view (where one exists
+            # with the projection inside patch bounds)
+            want_hard = rng.random(k) < hard_negative_frac
+            for j in np.nonzero(want_hard)[0]:
+                pi = idx[j]
+                cand = np.nonzero(occ_mat[pi])[0]
+                if not len(cand):
+                    continue
+                vc = int(rng.choice(cand))
+                uv_c, wc = project(
+                    jnp.asarray(Ps[vc]), jnp.asarray(pts[pi][None])
+                )
+                uv_c = np.asarray(uv_c)[0]
+                if float(np.asarray(wc)[0]) <= 0 or not in_patch_bounds(
+                    uv_c[None]
+                )[0]:
+                    continue
+                neg[j] = extract_patches(
+                    scene.images, np.asarray([vc]), uv_c[None], P
+                )[0]
+        negatives[filled : filled + k] = neg
         filled += k
     return anchors, positives, negatives
 
@@ -164,12 +206,21 @@ def restore_pairnet(ckpt_dir: str, cfg: Config, step: Optional[int] = None):
 
 
 def train_pairnet(
-    scene: SyntheticScene,
+    scene,
     cfg: Config,
     n_steps: int = 200,
     lr: float = 1e-3,
+    hard_negative_frac: float = 0.0,
 ) -> Tuple[PairNet, Any, list]:
-    """Train the pair net on a scene; returns (model, variables, loss log)."""
+    """Train the pair net; returns (model, variables, loss log).
+
+    ``scene`` may be a single scene or a LIST of scenes (r5, SURVEY C12:
+    the embedding must generalize across surface/texture families, not
+    memorize one sphere) — each step samples its triplet batch from a
+    uniformly-drawn scene.  ``hard_negative_frac`` enables occluded-view
+    hard negatives on scenes that support them (see sample_triplets).
+    """
+    scenes = scene if isinstance(scene, (list, tuple)) else [scene]
     rng = np.random.default_rng(cfg.train.seed)
     model, variables = init_pairnet(
         cfg.pairnet, jax.random.PRNGKey(cfg.train.seed)
@@ -181,7 +232,10 @@ def train_pairnet(
     )
     losses = []
     for step in range(n_steps):
-        anc, pos, neg = sample_triplets(scene, cfg, rng)
+        sc = scenes[int(rng.integers(len(scenes)))]
+        anc, pos, neg = sample_triplets(
+            sc, cfg, rng, hard_negative_frac=hard_negative_frac
+        )
         state, loss = pair_train_step(
             state,
             jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(neg),
