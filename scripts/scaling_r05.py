@@ -209,11 +209,19 @@ def host_assembly(rec):
     K = 4096
     rng = np.random.default_rng(0)
     rows = {}
+    d3 = D * D * D
     for Nc in (32, 64, 128, 256):
         rec_arr = rng.integers(
             0, 255, (Nc, K, 7), dtype=np.uint8
         )
-        # ~2% occupancy: zero out most prob bytes (prob==0 marks padding)
+        # valid voxel indices < D^3 (3-byte big-endian in record cols 0-2)
+        idx = np.stack(
+            [rng.choice(d3, K, replace=False) for _ in range(Nc)]
+        ).astype(np.int64)
+        rec_arr[..., 0] = (idx >> 16).astype(np.uint8)
+        rec_arr[..., 1] = ((idx >> 8) & 0xFF).astype(np.uint8)
+        rec_arr[..., 2] = (idx & 0xFF).astype(np.uint8)
+        # ~10% occupancy: zero out most prob bytes (prob==0 marks padding)
         mask = rng.random((Nc, K)) < 0.9
         rec_arr[..., 3] = np.where(mask, 0, rec_arr[..., 3])
         counts = (rec_arr[..., 3] > 0).sum(axis=1).astype(np.int32)

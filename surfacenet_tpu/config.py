@@ -312,6 +312,12 @@ class TrainConfig:
     # blur is paid everywhere, the tolerance only helps past the
     # crossover.
     aug_calib_sigma_px: float = 0.0
+    # Linear anneal horizon for the calibration augmentation: sigma decays
+    # from aug_calib_sigma_px at global step 0 to zero at this step
+    # (0 = constant sigma).  The r5 fine-tune recipe — clean 30k + a short
+    # annealed tail — buys the robustness without the 2.3x always-on
+    # clean cost measured in results/robustness_aug_r04.json.
+    aug_calib_anneal_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
