@@ -393,6 +393,26 @@ def baseline_config(name: str) -> Config:
         # adaptive_threshold measured OFF in r3: the per-cube density
         # target degrades accuracy 3-6x on both golden scenes at flat
         # completeness (results/adaptive_r03.json); fixed tau wins.
+        # r5 (VERDICT r4 next #1): the flagship preset now ships the
+        # PROVEN 64^3 operating point — ModelConfig.fast64(), +32%
+        # cubes/s over paper widths at 64^3 (results/fast64_step_r04)
+        # and qualified at the 64^3 apply point in
+        # results/op_point_r05.json (within 3% of paper quality at
+        # matched voxel size on both golden scenes; paper widths
+        # actually degrade WORST under voxel-size shift).  Training at
+        # the preset's voxel size is part of the recipe (ADVICE r3).
+        # Paper-parity experiments: preset "dtu9_paper".
+        return base.replace(
+            voxel=dataclasses.replace(base.voxel, cube_size=64),
+            model=ModelConfig.fast64(),
+            fusion=dataclasses.replace(
+                base.fusion, n_view_pairs=5, adaptive_threshold=False
+            ),
+            sweep=b64,
+        )
+    if name == "dtu9_paper":  # paper-width variant of config 2 (the
+        # pre-r5 dtu9_full): for reference-parity experiments where the
+        # exact paper channel widths matter more than throughput.
         return base.replace(
             voxel=dataclasses.replace(base.voxel, cube_size=64),
             fusion=dataclasses.replace(

@@ -271,6 +271,9 @@ def _remove_rigid(dx: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     )
     b = jnp.sum(jnp.cross(xc, r), axis=0)
     omega = jnp.linalg.solve(A + 1e-6 * jnp.eye(3), b)
+    # (A scale-mode projection was also tried — radial probe bias would
+    # couple to duv like a focal error — measured no effect at sigma=1/2
+    # and a slightly worse clean self-shift, so rigid-only ships.)
     return r - jnp.cross(jnp.broadcast_to(omega, xc.shape), xc)
 
 
