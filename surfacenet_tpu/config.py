@@ -372,7 +372,17 @@ class Config:
 def baseline_config(name: str) -> Config:
     base = Config()
     base = base.replace(
-        sweep=dataclasses.replace(base.sweep, use_pallas_gather=True),
+        sweep=dataclasses.replace(
+            base.sweep,
+            use_pallas_gather=True,
+            # r5: self-calibration prepass ships ON in every production
+            # preset — measured (results/robustness_r05.json): clean
+            # scenes are unharmed (0.599 vs 0.605 mm, the detected shift
+            # is ~0.2 px) and the one brittle axis is repaired (sigma=1 px
+            # overall 1.937 -> 0.889 mm = 1.47x clean, vs the 3.2x cliff
+            # unrefined).  Cost: seconds of prepass per scene.
+            refine_calib=True,
+        ),
         fusion=dataclasses.replace(
             base.fusion, ray_pool_mode="affine_pallas"
         ),
