@@ -117,6 +117,23 @@ def run_sweep_sharded(
     from surfacenet_tpu.pipeline.sweep import resolve_backend_config
 
     cfg = resolve_backend_config(cfg)
+
+    if cfg.sweep.refine_calib:
+        # same self-calibration prepass as the single-host run_sweep
+        # (geometry/refine.py).  Runs identically on every process (pure
+        # function of replicated inputs), so the refined matrices agree
+        # across the cluster without a broadcast.
+        from surfacenet_tpu.geometry.refine import refine_calibration_auto
+
+        Ps, rinfo = refine_calibration_auto(
+            images, Ps, bbox_min, bbox_max,
+            steps_per_level=cfg.sweep.refine_calib_steps,
+            n_probes=cfg.sweep.refine_calib_probes,
+        )
+        if metrics is not None:
+            metrics.gauge("refine_calib_max_shift_px", rinfo["max_shift_px"])
+            metrics.gauge("refine_calib_passes", rinfo["passes"])
+
     if mesh is None:
         mesh = make_mesh(
             n_block=cfg.mesh.block_axis,
