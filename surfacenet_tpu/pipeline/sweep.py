@@ -380,10 +380,21 @@ def cube_batch_step(
         sa, sb = slot_idx[..., 0], slot_idx[..., 1]  # (Nc, n_pairs)
 
         def _take(arr, sl):  # index the Ku axis by per-pair slots
-            # vmap'd take keeps the gather indices at (Nc, n_pairs) —
+            # Flat-row gather: collapse (Nc, Ku) to one leading axis and
+            # take whole rows with flat indices.  Equivalent to the
+            # vmap'd take (which keeps indices at (Nc, n_pairs) —
             # take_along_axis would broadcast them to the full output
-            # shape (hundreds of MB at 64^3, and it remats poorly).
-            return jax.vmap(lambda a, si: jnp.take(a, si, axis=0))(arr, sl)
+            # shape, hundreds of MB at 64^3); the flat form lowers to a
+            # single row-gather, the simplest shape for XLA to turn into
+            # pure DMA.  (In-situ A/B r5: see results/perf_r05c.json /
+            # ARCHITECTURE r5 section.)
+            lead = arr.shape[0] * arr.shape[1]
+            flat = arr.reshape((lead,) + arr.shape[2:])
+            base = (
+                jnp.arange(arr.shape[0], dtype=sl.dtype) * arr.shape[1]
+            )[:, None]
+            out = jnp.take(flat, (base + sl).reshape(-1), axis=0)
+            return out.reshape(sl.shape + arr.shape[2:])
 
         xa = _take(xs_u, sa)
         xb = _take(xs_u, sb)
