@@ -380,21 +380,15 @@ def cube_batch_step(
         sa, sb = slot_idx[..., 0], slot_idx[..., 1]  # (Nc, n_pairs)
 
         def _take(arr, sl):  # index the Ku axis by per-pair slots
-            # Flat-row gather: collapse (Nc, Ku) to one leading axis and
-            # take whole rows with flat indices.  Equivalent to the
-            # vmap'd take (which keeps indices at (Nc, n_pairs) —
+            # vmap'd take keeps the gather indices at (Nc, n_pairs) —
             # take_along_axis would broadcast them to the full output
-            # shape, hundreds of MB at 64^3); the flat form lowers to a
-            # single row-gather, the simplest shape for XLA to turn into
-            # pure DMA.  (In-situ A/B r5: see results/perf_r05c.json /
-            # ARCHITECTURE r5 section.)
-            lead = arr.shape[0] * arr.shape[1]
-            flat = arr.reshape((lead,) + arr.shape[2:])
-            base = (
-                jnp.arange(arr.shape[0], dtype=sl.dtype) * arr.shape[1]
-            )[:, None]
-            out = jnp.take(flat, (base + sl).reshape(-1), axis=0)
-            return out.reshape(sl.shape + arr.shape[2:])
+            # shape (hundreds of MB at 64^3, and it remats poorly).
+            # DO NOT "simplify" to a flat-row gather over a collapsed
+            # (Nc*Ku) axis: isolated micro-benches rate both forms at
+            # ~0.05 ms, but IN-SITU the flat form collapsed the whole
+            # production step 3.6x (567 -> 158 cubes/s, r5 bench A/B) —
+            # the batched-take form is what XLA fuses well here.
+            return jax.vmap(lambda a, si: jnp.take(a, si, axis=0))(arr, sl)
 
         xa = _take(xs_u, sa)
         xb = _take(xs_u, sb)
