@@ -290,6 +290,7 @@ def refine_calibration(
     steps_per_level: int = 80,
     lr: float = 0.3,
     huber_delta: float = 0.1,
+    probe_pool: int = 4,
 ):
     """Estimate and apply per-view image-space calibration corrections.
 
@@ -304,7 +305,7 @@ def refine_calibration(
     probes = jnp.asarray(
         photometric_probes(
             images_j, Ps_j, bbox_min, bbox_max,
-            n_probes=n_probes, grid=grid,
+            n_probes=n_probes, grid=grid, pool=probe_pool,
         )
     )
     V = Ps_j.shape[0]
@@ -414,25 +415,46 @@ def refine_calibration_auto(
     bbox_max,
     *,
     second_pass_threshold_px: float = 1.0,
+    deep_restart_threshold_px: float = float("inf"),
     **kw,
 ):
-    """Production entry: one refinement pass, plus a second pass from the
-    corrected matrices when the first detects shifts beyond
-    ``second_pass_threshold_px`` (badly-calibrated scene; the second pass
-    re-selects probes with the better cameras and composes corrections —
-    measured to help at sigma>=1 px and to never trigger on clean scenes,
-    whose detected shifts are ~0.2 px).
+    """Production entry: one refinement pass; a second polish pass from
+    the corrected matrices when the first detects shifts beyond
+    ``second_pass_threshold_px``; and, optionally (set
+    ``deep_restart_threshold_px`` finite), a RESTART from the original
+    matrices with a deeper pyramid and coarser probe pooling for scenes
+    known to be badly calibrated.  The deep restart ships DISABLED: on
+    the small CPU scene it halves the sigma=2 residual (0.88 vs
+    1.05 px), and at production scale it does improve sigma=2
+    reconstruction (3.69 -> 2.99 mm) — but it WRECKS sigma=1
+    (0.889 -> 2.65 mm), and the detected max shift cannot discriminate
+    the two regimes (both read ~2-2.5 px after pass 1, an
+    under-estimate), so no safe automatic trigger exists yet
+    (measured, results history r5).  Callers who know their calibration
+    is >= 2 px off can pass a finite threshold explicitly.  Clean
+    scenes detect ~0.2 px and never escalate at all.
 
     Returns (Ps_refined, info) with info["duv_px"] the TOTAL correction.
     """
     Ps1, i1 = refine_calibration(images, Ps, bbox_min, bbox_max, **kw)
+    passes = ["default"]
     if i1["max_shift_px"] <= second_pass_threshold_px:
         i1["passes"] = 1
         return Ps1, i1
+    if i1["max_shift_px"] > deep_restart_threshold_px:
+        deep_kw = dict(kw)
+        deep_kw["levels"] = (16, 8, 4, 2, 1)
+        deep_kw["probe_pool"] = 8
+        Ps1, i1 = refine_calibration(
+            images, Ps, bbox_min, bbox_max, **deep_kw
+        )
+        passes = ["deep_restart"]
     Ps2, i2 = refine_calibration(images, Ps1, bbox_min, bbox_max, **kw)
+    passes.append("polish")
     total = i1["duv_px"] + i2["duv_px"]
     info = {
-        "passes": 2,
+        "passes": len(passes),
+        "pass_kinds": passes,
         "duv_px": total,
         "max_shift_px": float(np.abs(total).max()),
         "level_losses": i1["level_losses"] + i2["level_losses"],
