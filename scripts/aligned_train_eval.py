@@ -27,7 +27,7 @@ repo's train-32 convention), so the grid it writes qualifies fast64's
 *learning capacity* at 32^3 only.  The preset's claim is the 64^3 apply
 point — that qualification (64^3 apply on the trained weights, DTU
 operating point) is run by scripts/op_point_qualify.py (r5), which
-writes results/quality_r05_64.json.
+writes results/op_point_r05.json.
 """
 
 import os, sys

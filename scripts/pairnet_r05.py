@@ -148,6 +148,12 @@ def eval_():
             pts, _, _ = store.merge()
             pts = np.asarray(pts)
             dt = time.perf_counter() - t0
+            if not len(pts):
+                # guard: inf acc/comp would serialize as non-RFC
+                # 'Infinity' and poison the ratio lines
+                rows[label] = {"empty": True, "n_pts": 0}
+                P(f"[{name}] {label}: EMPTY ({dt:.0f}s)")
+                continue
             acc, comp = accuracy_completeness(pts, gt)
             rec = {
                 "acc_mm": round(float(acc), 3),
@@ -170,10 +176,11 @@ def eval_():
     o, c = out["scenes"]["occluded"], out["scenes"]["clean"]
     for label in nets:
         k = f"learned_local/{label}"
-        out[f"ratio_occluded/{label}"] = round(
-            o[k]["overall_mm"] / o["geometric"]["overall_mm"], 4)
-        out[f"ratio_clean/{label}"] = round(
-            c[k]["overall_mm"] / c["geometric"]["overall_mm"], 4)
+        for tag, rows_ in (("occluded", o), ("clean", c)):
+            a = rows_.get(k, {}).get("overall_mm")
+            b = rows_.get("geometric", {}).get("overall_mm")
+            if a is not None and b:
+                out[f"ratio_{tag}/{label}"] = round(a / b, 4)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")

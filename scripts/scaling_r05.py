@@ -53,9 +53,18 @@ COLLECTIVE_RE = re.compile(
 
 
 def count_collectives(hlo: str):
+    """Count collective OPS (sync `all-reduce(` AND async
+    `all-reduce-start(` forms — the async pair counts once via its
+    -start; plain substring hits inside metadata/comments are excluded
+    by requiring the op-call paren)."""
     colls = {}
     for m in COLLECTIVE_RE.finditer(hlo):
-        if hlo[m.end():m.end() + 1] != "(":
+        tail = hlo[m.end():m.end() + 7]
+        if tail.startswith("("):
+            pass
+        elif tail.startswith("-start("):
+            pass
+        else:
             continue
         k = m.group(1).lower()
         colls[k] = colls.get(k, 0) + 1

@@ -121,9 +121,16 @@ def sample_triplets(
         positives[filled : filled + k] = extract_patches(
             scene.images, vb[idx], uv_b[idx], P
         )
-        # negatives: positive patches of a shuffled other point
+        # negatives: positive patches of a shuffled other point.  A
+        # one-candidate fill round would make np.roll a no-op (negative
+        # == positive, a degenerate zero-gradient triplet); borrow the
+        # previous filled row's positive instead, or resample.
+        if k == 1 and filled == 0:
+            continue
         perm = np.roll(idx, 1)
         neg = extract_patches(scene.images, vb[perm], uv_b[perm], P)
+        if k == 1:
+            neg[0] = positives[filled - 1]
         if occ_aware:
             # hard negatives: same point, occluded view (where one exists
             # with the projection inside patch bounds)
